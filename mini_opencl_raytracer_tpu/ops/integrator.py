@@ -1,0 +1,121 @@
+"""Path-trace integrator: the bounce loop as a ``lax.scan`` over a ray
+wavefront.
+
+TPU re-design of ``Render`` (kernel_bvh.cl:349-384). The reference runs a
+serial per-work-item loop with early breaks; on TPU the whole pixel grid
+advances in lockstep as one wavefront with per-lane ``alive`` masks —
+data-dependent control flow becomes lane selects, exactly what the VPU
+wants. The per-bounce recurrence mirrors the reference:
+
+  miss      -> radiance += beta * sky                 (kernel_bvh.cl:358-362)
+  hit       -> radiance += beta * Ke * emission_scale (kernel_bvh.cl:365)
+  sample    -> f, wi, pdf = SampleBrdf(...)           (kernel_bvh.cl:370)
+  dead      -> pdf <= 0 or NaN ends the path          (kernel_bvh.cl:371-372)
+  beta     *= f * (wi.n) / pdf                        (kernel_bvh.cl:374-375)
+  direct    -> radiance += lightPixel * Kd * beta     (kernel_bvh.cl:378)
+  respawn   -> ray = (pos + wi * eps, wi)             (kernel_bvh.cl:380)
+  clamp     -> radiance = max(radiance, 0)            (kernel_bvh.cl:383)
+
+The intersector is injected (brute-force oracle / BVH / Pallas) so every
+backend shares this exact code path — the basis of the cross-backend
+allclose tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.scene import Scene
+from . import rng
+from .brdf import sample_brdf
+from .intersect import Hit, shading_point
+from .lights import direct_light
+from .linalg import dot
+
+
+def trace_paths(
+    scene: Scene,
+    cfg: RenderConfig,
+    origins: jax.Array,     # [R, 3]
+    directions: jax.Array,  # [R, 3] unit
+    seeds: jax.Array,       # [R] uint32 per-pixel seeds
+    intersect_fn: Callable[[jax.Array, jax.Array], Hit],
+    occluder_fn: Optional[Callable] = None,
+) -> jax.Array:
+    """Trace one wavefront for ``cfg.bounces`` bounces -> radiance [R, 3]."""
+    R = origins.shape[0]
+    dtype = cfg.jnp_dtype()
+    geo = scene.geometry
+    mats = scene.materials
+
+    sky = jnp.asarray(cfg.sky_color, dtype) * cfg.skybox_intensity
+
+    if not cfg.shadow_rays:
+        occ = None
+    else:
+        occ = occluder_fn
+
+    def bounce_step(carry, bounce):
+        o, d, beta, radiance, alive = carry
+
+        hit = intersect_fn(o, d)
+        sp = shading_point(o, d, hit, geo, backface_cull=cfg.backface_cull)
+
+        # Miss -> constant-grey sky (kernel_bvh.cl:92-96, 358-362).
+        miss = alive & ~hit.hit
+        radiance = radiance + jnp.where(miss[:, None], beta * sky[None, :], 0.0)
+
+        live = alive & hit.hit
+        kd = jnp.take(mats.diffuse, sp.mat_idx, axis=0)
+        ks = jnp.take(mats.specular, sp.mat_idx, axis=0)
+        ke = jnp.take(mats.emission, sp.mat_idx, axis=0)
+        ns = jnp.take(mats.roughness, sp.mat_idx, axis=0)
+
+        # Emission boost (kernel_bvh.cl:365: `* 50`).
+        radiance = radiance + jnp.where(
+            live[:, None], beta * ke * cfg.emission_scale, 0.0)
+
+        wo = -d
+        sample = sample_brdf(wo, sp.normal, kd, ks, ns, seeds, bounce,
+                             specular_prob=cfg.specular_prob)
+
+        cos_i = dot(sample.wi, sp.normal)
+        pdf_safe = jnp.where(sample.pdf > 0.0, sample.pdf, 1.0)
+        mul = sample.f * (cos_i / pdf_safe)[:, None]
+        ok = (sample.valid & (sample.pdf > 0.0)
+              & jnp.all(jnp.isfinite(mul), axis=-1))
+        beta_new = jnp.where((live & ok)[:, None], beta * mul, beta)
+
+        # Direct analytic light, weighted by Kd and the *updated* beta
+        # (kernel_bvh.cl:374-378 order).
+        dl = direct_light(
+            scene.lights, sp.pos, sp.normal, wo, ns,
+            occluder_fn=occ, direct_specular=cfg.direct_specular,
+            shadow_eps=cfg.ray_epsilon)
+        direct = dl.diffuse_weight[:, None] * kd
+        if cfg.direct_specular:
+            direct = direct + dl.specular_weight[:, None] * ks
+        radiance = radiance + jnp.where(
+            (live & ok)[:, None], direct * beta_new, 0.0)
+
+        alive_next = live & ok
+        o_next = jnp.where(alive_next[:, None],
+                           sp.pos + sample.wi * cfg.ray_epsilon, o)
+        d_next = jnp.where(alive_next[:, None], sample.wi, d)
+        return (o_next, d_next, beta_new, radiance, alive_next), None
+
+    init = (
+        origins,
+        directions,
+        jnp.ones((R, 3), dtype),
+        jnp.zeros((R, 3), dtype),
+        jnp.ones((R,), bool),
+    )
+    (_, _, _, radiance, _), _ = jax.lax.scan(
+        bounce_step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
+    # Final clamp (kernel_bvh.cl:383).
+    return jnp.maximum(radiance, 0.0)

@@ -1,0 +1,163 @@
+"""Top-level headless render API.
+
+Replaces the reference's frame driver + GL display loop
+(CLRaytracer::RenderFrame, CLRaytracer.cpp:12-102; CLEngineBase render
+loop, CLEngineBase.cpp:192-210) with pure functions:
+
+  render_sample(scene, camera, cfg, frame)      -> linear radiance [H,W,3]
+  render(scene, camera, cfg, frames)            -> accumulated image
+  RenderState / accumulate / to_image           -> progressive refinement
+
+Progressive accumulation: the reference stores a gamma-encoded running
+average in the output buffer and re-derives the linear average each frame
+(kernel_bvh.cl:449-455). The TPU design keeps the *linear* sum and a
+sample count as an explicit carry (SURVEY.md section 3.4: "accumulated
+render state is an explicit carry"), applying gamma only at readout —
+mathematically the same average, without the per-frame encode/decode.
+
+Accumulation-reset-on-change (CLui.cpp:218-232, CLEngineBase.cpp:146-161)
+becomes trivial: any scene/camera change is a new ``RenderState()``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import BVHConfig, RenderConfig
+from .models.scene import Camera, Scene
+from .ops import rng
+from .ops.camera import generate_rays
+from .ops.integrator import trace_paths
+from .ops.intersect import intersect_brute, occluded_brute
+from .ops import bvh as bvh_mod
+from .ops.pallas import intersect as pallas_mod
+
+
+def make_intersectors(scene: Scene, cfg: RenderConfig,
+                      bvh: Optional["bvh_mod.BVH"] = None):
+    """Build (closest_hit_fn, any_hit_fn) for the configured backend.
+
+    Backends:
+      * ``bruteforce`` — the all-pairs oracle (tests' ground truth);
+      * ``bvh``        — LBVH traversal in pure JAX;
+      * ``pallas``     — Pallas TPU kernels (MXU panel intersection).
+    """
+    geo = scene.geometry
+    if cfg.backend == "bruteforce":
+        closest = functools.partial(
+            intersect_brute, geometry=geo, t_max=cfg.t_max,
+            backface_cull=cfg.backface_cull, ray_chunk=cfg.ray_chunk)
+        any_hit = functools.partial(
+            occluded_brute, geometry=geo,
+            backface_cull=cfg.backface_cull, ray_chunk=cfg.ray_chunk)
+        return closest, any_hit
+    if cfg.backend == "bvh":
+        if bvh is None:
+            bvh = bvh_mod.build_bvh(geo, BVHConfig())
+        closest = functools.partial(
+            bvh_mod.intersect_bvh, bvh=bvh, t_max=cfg.t_max,
+            backface_cull=cfg.backface_cull)
+        any_hit = functools.partial(
+            bvh_mod.occluded_bvh, bvh=bvh,
+            backface_cull=cfg.backface_cull)
+        return closest, any_hit
+    if cfg.backend == "pallas":
+        return pallas_mod.make_intersectors(geo, cfg)
+    raise ValueError(f"unknown backend: {cfg.backend!r}")
+
+
+@struct.dataclass
+class RenderState:
+    """Progressive accumulation carry: linear radiance sum + sample count
+    (+ the frame counter that seeds the next sample's RNG, the analog of
+    m_FrameCount, CLRaytracer.h:30)."""
+
+    radiance_sum: jax.Array  # [H, W, 3] linear
+    num_samples: jax.Array   # scalar int32
+
+    @staticmethod
+    def create(cfg: RenderConfig) -> "RenderState":
+        return RenderState(
+            radiance_sum=jnp.zeros((cfg.height, cfg.width, 3), cfg.jnp_dtype()),
+            num_samples=jnp.zeros((), jnp.int32),
+        )
+
+    def mean(self) -> jax.Array:
+        n = jnp.maximum(self.num_samples, 1).astype(self.radiance_sum.dtype)
+        return self.radiance_sum / n
+
+
+def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
+                  frame=0,
+                  bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+    """Render one progressive sample -> linear radiance [H, W, 3].
+
+    ``frame`` seeds the per-pixel RNG exactly like the reference's
+    frameCount (kernel_bvh.cl:445); successive frames decorrelate the
+    jitter and the path choices.
+    """
+    closest, any_hit = make_intersectors(scene, cfg, bvh=bvh)
+    R = cfg.num_pixels
+    pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+
+    def one_spp(s, acc):
+        seeds = rng.pixel_seeds(pixel_ids,
+                                jnp.uint32(frame) * jnp.uint32(cfg.spp)
+                                + jnp.uint32(s))
+        o, d = generate_rays(camera, cfg, pixel_ids, seeds)
+        radiance = trace_paths(scene, cfg, o, d, seeds, closest, any_hit)
+        return acc + radiance
+
+    total = jax.lax.fori_loop(
+        0, cfg.spp, one_spp, jnp.zeros((R, 3), cfg.jnp_dtype()))
+    return (total / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+
+def accumulate(state: RenderState, sample: jax.Array,
+               weight: int = 1) -> RenderState:
+    """Progressive average update — the linear-space equivalent of
+    ``(avg*(N-1) + x) / N`` (kernel_bvh.cl:453-455)."""
+    return RenderState(
+        radiance_sum=state.radiance_sum + sample * weight,
+        num_samples=state.num_samples + weight,
+    )
+
+
+def to_image(state_or_radiance, gamma: float = 2.2) -> jax.Array:
+    """Gamma-encode linear radiance for display (ToGamma,
+    kernel_bvh.cl:405-408: value^(1/2.2))."""
+    lin = (state_or_radiance.mean()
+           if isinstance(state_or_radiance, RenderState)
+           else state_or_radiance)
+    return jnp.power(jnp.maximum(lin, 0.0), 1.0 / gamma)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frames"))
+def render(scene: Scene, camera: Camera, cfg: RenderConfig,
+           frames: int = 1,
+           bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+    """Render ``frames`` progressive samples and return the gamma-encoded
+    image [H, W, 3] — the headless equivalent of letting the reference's
+    window accumulate ``frames`` frames."""
+    def body(f, st):
+        return accumulate(st, render_sample(scene, camera, cfg, frame=f,
+                                            bvh=bvh))
+    state = jax.lax.fori_loop(0, frames, body, RenderState.create(cfg))
+    return to_image(state, cfg.gamma)
+
+
+def render_radiance(scene: Scene, camera: Camera, cfg: RenderConfig,
+                    frames: int = 1,
+                    bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+    """Like ``render`` but returns the *linear* mean radiance (the
+    quantity used for gradient-based optimization and FD tests)."""
+    def body(f, st):
+        return accumulate(st, render_sample(scene, camera, cfg, frame=f,
+                                            bvh=bvh))
+    state = jax.lax.fori_loop(0, frames, body, RenderState.create(cfg))
+    return state.mean()

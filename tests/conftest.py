@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX trick for
+exercising Mesh/pjit/shard_map/ppermute code paths without hardware —
+SURVEY.md section 4 'Distributed tests without a cluster'). Must be set
+before JAX initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="session")
+def cornell():
+    from mini_opencl_raytracer_tpu.models.cornell import cornell_scene
+    return cornell_scene()
+
+
+@pytest.fixture(scope="session")
+def rng_np():
+    return np.random.default_rng(0)
