@@ -1,0 +1,61 @@
+"""Benchmark harness: one JSON line for the driver.
+
+Primary metric (BASELINE.json): rays/s/chip forward+backward at 1080p
+Cornell box. 'rays' = width * height * bounces per frame (one ray per
+pixel per bounce, the reference's work-item-per-pixel workload,
+CLRaytracer.cpp:53, extended over the bounce loop). The measured step is
+jit(value_and_grad) of the mean rendered radiance w.r.t. the float scene
+leaves — i.e. a full differentiable render step, not just forward.
+
+vs_baseline is measured against the driver-set north-star target of
+1e9 rays/s/chip (the reference publishes no numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    from mini_opencl_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import mini_opencl_raytracer_tpu as mrt
+    from mini_opencl_raytracer_tpu import grad as gradlib
+
+    W, H, B = 1920, 1080, 9
+    scene = mrt.cornell_scene()
+    camera = mrt.Camera.default()
+    cfg = mrt.RenderConfig(width=W, height=H, bounces=B, backend="pallas")
+
+    def loss(s):
+        return jnp.mean(mrt.render_sample(s, camera, cfg))
+
+    step = jax.jit(lambda s: gradlib.grad_float_leaves(loss, s))
+
+    g = step(scene)
+    jax.block_until_ready(g)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(scene)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = W * H * B
+    rays_per_s = rays / dt
+    target = 1.0e9
+    print(json.dumps({
+        "metric": "rays/s/chip fwd+bwd, 1080p Cornell, 9 bounces (pallas)",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / target,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,10 @@ class RenderConfig:
     ray_chunk: int = 4096
     # Intersection backend: "bruteforce" | "bvh" | "pallas".
     backend: str = "bvh"
+    # Rematerialize each bounce in the backward pass (jax.checkpoint on
+    # the scan body): trades recompute for activation memory so full-res
+    # gradient renders fit in HBM.
+    remat: bool = True
     # float dtype for the compute path.
     dtype: str = "float32"
 

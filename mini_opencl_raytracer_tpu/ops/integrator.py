@@ -32,9 +32,10 @@ from ..config import RenderConfig
 from ..models.scene import Scene
 from . import rng
 from .brdf import sample_brdf
-from .intersect import Hit, shading_point
+from .intersect import Hit
 from .lights import direct_light
 from .linalg import dot
+from .shading import build_shading_table, hit_attributes
 
 
 def trace_paths(
@@ -49,8 +50,6 @@ def trace_paths(
     """Trace one wavefront for ``cfg.bounces`` bounces -> radiance [R, 3]."""
     R = origins.shape[0]
     dtype = cfg.jnp_dtype()
-    geo = scene.geometry
-    mats = scene.materials
 
     sky = jnp.asarray(cfg.sky_color, dtype) * cfg.skybox_intensity
 
@@ -59,31 +58,31 @@ def trace_paths(
     else:
         occ = occluder_fn
 
+    # All per-hit attributes come from one fused table fetch (see
+    # ops/shading.py) instead of the reference's pointer chases.
+    st = build_shading_table(scene.geometry, scene.materials)
+
     def bounce_step(carry, bounce):
         o, d, beta, radiance, alive = carry
 
         hit = intersect_fn(o, d)
-        sp = shading_point(o, d, hit, geo, backface_cull=cfg.backface_cull)
+        at = hit_attributes(o, d, hit, st, backface_cull=cfg.backface_cull)
 
         # Miss -> constant-grey sky (kernel_bvh.cl:92-96, 358-362).
         miss = alive & ~hit.hit
         radiance = radiance + jnp.where(miss[:, None], beta * sky[None, :], 0.0)
 
         live = alive & hit.hit
-        kd = jnp.take(mats.diffuse, sp.mat_idx, axis=0)
-        ks = jnp.take(mats.specular, sp.mat_idx, axis=0)
-        ke = jnp.take(mats.emission, sp.mat_idx, axis=0)
-        ns = jnp.take(mats.roughness, sp.mat_idx, axis=0)
 
         # Emission boost (kernel_bvh.cl:365: `* 50`).
         radiance = radiance + jnp.where(
-            live[:, None], beta * ke * cfg.emission_scale, 0.0)
+            live[:, None], beta * at.ke * cfg.emission_scale, 0.0)
 
         wo = -d
-        sample = sample_brdf(wo, sp.normal, kd, ks, ns, seeds, bounce,
-                             specular_prob=cfg.specular_prob)
+        sample = sample_brdf(wo, at.normal, at.kd, at.ks, at.ns, seeds,
+                             bounce, specular_prob=cfg.specular_prob)
 
-        cos_i = dot(sample.wi, sp.normal)
+        cos_i = dot(sample.wi, at.normal)
         pdf_safe = jnp.where(sample.pdf > 0.0, sample.pdf, 1.0)
         mul = sample.f * (cos_i / pdf_safe)[:, None]
         ok = (sample.valid & (sample.pdf > 0.0)
@@ -93,18 +92,18 @@ def trace_paths(
         # Direct analytic light, weighted by Kd and the *updated* beta
         # (kernel_bvh.cl:374-378 order).
         dl = direct_light(
-            scene.lights, sp.pos, sp.normal, wo, ns,
+            scene.lights, at.pos, at.normal, wo, at.ns,
             occluder_fn=occ, direct_specular=cfg.direct_specular,
             shadow_eps=cfg.ray_epsilon)
-        direct = dl.diffuse_weight[:, None] * kd
+        direct = dl.diffuse_weight[:, None] * at.kd
         if cfg.direct_specular:
-            direct = direct + dl.specular_weight[:, None] * ks
+            direct = direct + dl.specular_weight[:, None] * at.ks
         radiance = radiance + jnp.where(
             (live & ok)[:, None], direct * beta_new, 0.0)
 
         alive_next = live & ok
         o_next = jnp.where(alive_next[:, None],
-                           sp.pos + sample.wi * cfg.ray_epsilon, o)
+                           at.pos + sample.wi * cfg.ray_epsilon, o)
         d_next = jnp.where(alive_next[:, None], sample.wi, d)
         return (o_next, d_next, beta_new, radiance, alive_next), None
 
@@ -115,7 +114,12 @@ def trace_paths(
         jnp.zeros((R, 3), dtype),
         jnp.ones((R,), bool),
     )
+    # Remat each bounce so reverse-mode stores only the small scan carry
+    # per bounce instead of every intermediate panel (HBM is the scarce
+    # resource; intersection recompute is cheap — SURVEY.md 'use
+    # jax.checkpoint to trade FLOPs for memory').
+    step = jax.checkpoint(bounce_step) if cfg.remat else bounce_step
     (_, _, _, radiance, _), _ = jax.lax.scan(
-        bounce_step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
+        step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
     # Final clamp (kernel_bvh.cl:383).
     return jnp.maximum(radiance, 0.0)

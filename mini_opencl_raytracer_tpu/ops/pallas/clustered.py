@@ -1,0 +1,367 @@
+"""Two-level cluster-culled Pallas intersection kernel for large scenes.
+
+TPU re-design of the reference's per-thread BVH traversal (``Intersect``,
+kernel_bvh.cl:171-219) for triangle counts far beyond what the flat panel
+kernel (ops/pallas/panel.py) should brute-force. The divergent per-ray
+stack is replaced by a *packet* scheme shaped for the VPU:
+
+* Triangles are Morton-sorted (same ordering as ops/bvh.py) and grouped
+  into **clusters** of ``CLUSTER`` consecutive triangles; clusters are
+  grouped into **super-clusters** of ``SUPER`` consecutive clusters.
+  Both levels carry AABBs — a 3-level implicit hierarchy with fanouts
+  (SUPER, CLUSTER), built with pure jnp sorts/reductions on device.
+* The kernel processes rays 128 at a time (one lane each). For each
+  128-ray packet it slab-tests *all* super-cluster AABBs as a dense
+  [S, 128] panel, reduces over lanes to a per-super "any ray hits" mask,
+  and only descends into supers the packet touches; the same predicated
+  descent happens for clusters, and surviving clusters run the dense
+  [CLUSTER, 128] Moller-Trumbore panel of the flat kernel.
+* Control flow is scalar (fori + pl.when on mask scalars read back from
+  VMEM scratch) — the TPU analog of the reference's stack, except one
+  decision serves 128 rays instead of one.
+
+Coherent packets (primary rays, shadow rays to one light) visit few
+clusters; incoherent bounce packets degrade toward brute force — ray
+sorting between bounces is the planned mitigation (SURVEY.md section 7,
+step 4 'minimizing wasted lanes via ray sorting/compaction').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.scene import Geometry
+from ..bvh import morton3d
+from ..intersect import Hit
+
+_LANES = 128
+_ROWS = 8            # ray rows per grid step
+_TILE = _LANES * _ROWS
+CLUSTER = 64         # triangles per cluster (leaf panel height)
+SUPER = 64           # clusters per super-cluster
+
+_BIG = 3.0e38
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ClusteredGeometry(NamedTuple):
+    """Device-resident, Morton-ordered, padded acceleration layout."""
+
+    tri: jax.Array          # [T_pad, 16] v0/e1/e2 columns (panel layout)
+    cl_aabb: jax.Array      # [C_pad, 8] cluster lo.xyz, hi.xyz
+    sup_aabb: jax.Array     # [S_pad, 8] super-cluster lo.xyz, hi.xyz
+    slot_to_tri: jax.Array  # [T_pad] int32 -> original triangle index
+
+    @property
+    def num_supers(self) -> int:
+        return self.sup_aabb.shape[0]
+
+
+def build_clusters(geometry: Geometry) -> ClusteredGeometry:
+    """Morton-sort triangles and build the two AABB levels (pure jnp)."""
+    v0 = jax.lax.stop_gradient(geometry.v0).astype(jnp.float32)
+    v1 = jax.lax.stop_gradient(geometry.v1).astype(jnp.float32)
+    v2 = jax.lax.stop_gradient(geometry.v2).astype(jnp.float32)
+    T = v0.shape[0]
+
+    cent = (v0 + v1 + v2) / 3.0
+    lo = jnp.min(cent, axis=0)
+    hi = jnp.max(cent, axis=0)
+    codes = morton3d((cent - lo) / jnp.maximum(hi - lo, 1e-12))
+    _, order = jax.lax.sort_key_val(codes, jnp.arange(T, dtype=jnp.int32))
+
+    C = max(-(-T // CLUSTER), 1)
+    S = max(-(-C // SUPER), 1)
+    C_pad = S * SUPER
+    T_pad = C_pad * CLUSTER
+
+    def take_pad(a):
+        a = jnp.take(a, order, axis=0)
+        return jnp.pad(a, ((0, T_pad - T), (0, 0)), constant_values=_BIG)
+
+    pv0, pv1, pv2 = take_pad(v0), take_pad(v1), take_pad(v2)
+    slot_to_tri = jnp.pad(order, (0, T_pad - T))
+
+    # Lane dim padded to 128 so cluster DMA slices are tile-aligned
+    # (Mosaic requires dim-1 slices in multiples of 128).
+    tri = jnp.zeros((T_pad, 128), jnp.float32)
+    tri = tri.at[:, 0:3].set(pv0)
+    # Padding rows: v0 = BIG but e1 = e2 = 0 -> det == 0 -> never hit.
+    e1 = jnp.where((slot_to_tri[:, None] >= 0)
+                   & (jnp.arange(T_pad)[:, None] < T), pv1 - pv0, 0.0)
+    e2 = jnp.where(jnp.arange(T_pad)[:, None] < T, pv2 - pv0, 0.0)
+    tri = tri.at[:, 3:6].set(e1)
+    tri = tri.at[:, 6:9].set(e2)
+
+    real = (jnp.arange(T_pad) < T)[:, None]
+    t_lo = jnp.where(real, jnp.minimum(jnp.minimum(pv0, pv1), pv2), _BIG)
+    t_hi = jnp.where(real, jnp.maximum(jnp.maximum(pv0, pv1), pv2), -_BIG)
+
+    def fix_empty(lo_, hi_):
+        # Empty boxes come out of the reduction inverted (lo > hi); the
+        # min/max slab test would read an inverted box as an *infinite*
+        # box, so normalize empties to a far-away point box that every
+        # slab test rejects.
+        empty = jnp.any(lo_ > hi_, axis=1, keepdims=True)
+        return (jnp.where(empty, _BIG, lo_), jnp.where(empty, _BIG, hi_))
+
+    # Reduce with inverted-box neutral elements (+BIG/-BIG) so partially
+    # padded groups stay tight, then normalize empties at each level.
+    cl_lo = jnp.min(t_lo.reshape(C_pad, CLUSTER, 3), axis=1)
+    cl_hi = jnp.max(t_hi.reshape(C_pad, CLUSTER, 3), axis=1)
+    sup_lo = jnp.min(cl_lo.reshape(S, SUPER, 3), axis=1)
+    sup_hi = jnp.max(cl_hi.reshape(S, SUPER, 3), axis=1)
+    cl_lo, cl_hi = fix_empty(cl_lo, cl_hi)
+    sup_lo, sup_hi = fix_empty(sup_lo, sup_hi)
+
+    def pack_aabb(lo_, hi_):
+        n = lo_.shape[0]
+        rows = max(_ceil_to(n, 8), 8)
+        # Padding rows are far-away point boxes (slab test always fails).
+        out = jnp.full((rows, 8), _BIG, jnp.float32)
+        out = out.at[:n, 0:3].set(lo_)
+        out = out.at[:n, 3:6].set(hi_)
+        return out
+
+    return ClusteredGeometry(
+        tri=tri,
+        cl_aabb=pack_aabb(cl_lo, cl_hi),
+        sup_aabb=pack_aabb(sup_lo, sup_hi),
+        slot_to_tri=slot_to_tri.astype(jnp.int32),
+    )
+
+
+def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far):
+    """[N, 128] slab test: AABB column slices ([N,1]) vs a ray row
+    ([1,128] origin + inverse-direction components). Returns hit mask.
+    Matches RayBounds semantics (kernel_bvh.cl:156-169) with min/max
+    instead of sign indexing."""
+    lox, loy, loz, hix, hiy, hiz = aabb_cols
+    tx1 = (lox - ox) * ix
+    tx2 = (hix - ox) * ix
+    ty1 = (loy - oy) * iy
+    ty2 = (hiy - oy) * iy
+    tz1 = (loz - oz) * iz
+    tz2 = (hiz - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    return (jnp.minimum(tmax, t_far) >= jnp.maximum(tmin, 0.0))
+
+
+def _aabb_cols(ref, start, n):
+    return tuple(ref[pl.ds(start, n), k:k + 1] for k in range(6))
+
+
+def _clustered_kernel(sup_ref, cl_ref, tri_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tin_ref, tout_ref, idx_ref,
+                      mask_scratch, best_scratch, tri_scratch, dma_sem,
+                      *, num_supers: int, backface_cull: bool):
+    """Grid step: ROWS x 128 rays, packet descent over supers/clusters.
+
+    ``tri_ref`` lives in HBM (a large scene cannot be VMEM-resident);
+    each visited cluster's [CLUSTER, 16] block (~4 KB) is DMA'd into
+    ``tri_scratch`` on demand — the packet amortizes the copy over 128
+    rays, and only clusters the packet's AABB tests survive are fetched.
+    """
+    tri_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (CLUSTER, _LANES), 0).astype(jnp.float32)
+
+    def process_row(r, _):
+        ox = ox_ref[pl.ds(r, 1), :]
+        oy = oy_ref[pl.ds(r, 1), :]
+        oz = oz_ref[pl.ds(r, 1), :]
+        dx = dx_ref[pl.ds(r, 1), :]
+        dy = dy_ref[pl.ds(r, 1), :]
+        dz = dz_ref[pl.ds(r, 1), :]
+        eps = 1e-20
+        ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx, eps)
+        iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy, eps)
+        iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz, eps)
+
+        t_init = tin_ref[pl.ds(r, 1), :]
+        best_scratch[0:1, :] = t_init
+        best_scratch[1:2, :] = jnp.full((1, _LANES), -1.0, jnp.float32)
+        # Packet-wide conservative far bound: the farthest live ray.
+        t_far0 = jnp.max(t_init)
+
+        # Level 0: all super-cluster AABBs vs this packet.
+        sup_hit = _slab_panel(
+            _aabb_cols(sup_ref, 0, num_supers),
+            ox, oy, oz, ix, iy, iz, t_far0)          # [S, 128]
+        mask_scratch[pl.ds(0, num_supers), 0:1] = jnp.sum(
+            sup_hit.astype(jnp.float32), axis=1, keepdims=True)
+
+        def super_body(s, _):
+            @pl.when(mask_scratch[s, 0] > 0.0)
+            def _():
+                t_far = jnp.max(best_scratch[0:1, :])
+                cl_hit = _slab_panel(
+                    _aabb_cols(cl_ref, s * SUPER, SUPER),
+                    ox, oy, oz, ix, iy, iz, t_far)   # [SUPER, 128]
+                mask_scratch[pl.ds(0, SUPER), 1:2] = jnp.sum(
+                    cl_hit.astype(jnp.float32), axis=1, keepdims=True)
+
+                def cluster_body(j, _):
+                    @pl.when(mask_scratch[j, 1] > 0.0)
+                    def _():
+                        base = (s * SUPER + j) * CLUSTER
+                        dma = pltpu.make_async_copy(
+                            tri_ref.at[pl.ds(base, CLUSTER), :],
+                            tri_scratch, dma_sem)
+                        dma.start()
+                        dma.wait()
+                        v0x = tri_scratch[:, 0:1]
+                        v0y = tri_scratch[:, 1:2]
+                        v0z = tri_scratch[:, 2:3]
+                        e1x = tri_scratch[:, 3:4]
+                        e1y = tri_scratch[:, 4:5]
+                        e1z = tri_scratch[:, 5:6]
+                        e2x = tri_scratch[:, 6:7]
+                        e2y = tri_scratch[:, 7:8]
+                        e2z = tri_scratch[:, 8:9]
+
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        if backface_cull:
+                            dvalid = det > 1e-10
+                        else:
+                            dvalid = jnp.abs(det) > 1e-10
+                        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
+
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+                        t_best = best_scratch[0:1, :]
+                        ok = (dvalid & (u >= 0.0) & (v >= 0.0)
+                              & (u + v <= 1.0) & (tt > 0.0) & (tt < t_best))
+                        tt = jnp.where(ok, tt, _BIG)
+                        t_blk = jnp.min(tt, axis=0, keepdims=True)
+                        win = tt <= t_blk
+                        i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
+                                        axis=0, keepdims=True)
+                        better = t_blk < t_best
+                        best_scratch[0:1, :] = jnp.where(better, t_blk,
+                                                         t_best)
+                        best_scratch[1:2, :] = jnp.where(
+                            better, i_blk + jnp.float32(base),
+                            best_scratch[1:2, :])
+                    return 0
+
+                jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, num_supers, super_body, 0)
+
+        tout_ref[pl.ds(r, 1), :] = best_scratch[0:1, :]
+        idx_ref[pl.ds(r, 1), :] = best_scratch[1:2, :].astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, _ROWS, process_row, 0)
+
+
+def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
+    R = o.shape[0]
+    pad = (-R) % _TILE
+    Rp = R + pad
+
+    def panels(a, fill=0.0):
+        a = jnp.pad(a, (0, pad), constant_values=fill)
+        return a.reshape(Rp // _LANES, _LANES)
+
+    comps = [panels(o[:, 0]), panels(o[:, 1]), panels(o[:, 2]),
+             panels(d[:, 0]), panels(d[:, 1]), panels(d[:, 2], fill=1.0),
+             panels(t_init, fill=0.0)]
+
+    S_rows = cg.sup_aabb.shape[0]
+    num_supers = cg.num_supers
+    grid = (Rp // _TILE,)
+    ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_clustered_kernel, num_supers=num_supers,
+                               backface_cull=backface_cull)
+    t_out, idx_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full(cg.sup_aabb.shape), full(cg.cl_aabb.shape),
+                  # Triangles stay in HBM; clusters are DMA'd on demand.
+                  pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(S_rows, SUPER), 8), jnp.float32),  # masks
+            pltpu.VMEM((8, _LANES), jnp.float32),              # best t/idx
+            pltpu.VMEM((CLUSTER, 128), jnp.float32),           # tri block
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(cg.sup_aabb, cg.cl_aabb, cg.tri, *comps)
+    return t_out.reshape(-1)[:R], idx_out.reshape(-1)[:R]
+
+
+def intersect_clustered(o: jax.Array, d: jax.Array,
+                        cg: ClusteredGeometry, t_max: float,
+                        backface_cull: bool = False) -> Hit:
+    """Closest hit via the clustered kernel (original triangle ids)."""
+    o = jax.lax.stop_gradient(o).astype(jnp.float32)
+    d = jax.lax.stop_gradient(d).astype(jnp.float32)
+    t_init = jnp.full((o.shape[0],), t_max, jnp.float32)
+    t_best, slot = _run_clustered(cg, o, d, t_init, backface_cull)
+    hit = slot >= 0
+    tri_idx = jnp.take(cg.slot_to_tri, jnp.maximum(slot, 0))
+    return Hit(t=jnp.where(hit, t_best, t_max),
+               tri_idx=jnp.where(hit, tri_idx, 0),
+               hit=hit)
+
+
+def occluded_clustered(o: jax.Array, d: jax.Array, t_limit: jax.Array,
+                       cg: ClusteredGeometry,
+                       backface_cull: bool = False) -> jax.Array:
+    o = jax.lax.stop_gradient(o).astype(jnp.float32)
+    d = jax.lax.stop_gradient(d).astype(jnp.float32)
+    t_init = jnp.where(jnp.isfinite(t_limit), t_limit, _BIG)
+    t_init = jax.lax.stop_gradient(t_init).astype(jnp.float32)
+    _, slot = _run_clustered(cg, o, d, t_init, backface_cull)
+    return slot >= 0
+
+
+def make_intersectors(geometry: Geometry, cfg: RenderConfig):
+    cg = build_clusters(geometry)
+    closest = functools.partial(intersect_clustered, cg=cg, t_max=cfg.t_max,
+                                backface_cull=cfg.backface_cull)
+    any_hit = functools.partial(occluded_clustered, cg=cg,
+                                backface_cull=cfg.backface_cull)
+    return closest, any_hit

@@ -1,12 +1,21 @@
-"""Pallas TPU intersection kernels (placeholder — implemented in
-ops/pallas/panel.py; this module wires backends together)."""
+"""Pallas backend dispatch: flat panel kernel for small scenes,
+cluster-culled kernel (HBM-resident triangles + packet descent) for
+large ones."""
 
 from __future__ import annotations
 
 from ...config import RenderConfig
 from ...models.scene import Geometry
 
+# Above this triangle count the all-pairs panel sweep loses to the
+# cluster-culled kernel (and its VMEM-resident packing stops fitting).
+FLAT_PANEL_MAX_TRIS = 2048
+
 
 def make_intersectors(geometry: Geometry, cfg: RenderConfig):
-    from . import panel
-    return panel.make_intersectors(geometry, cfg)
+    T = geometry.v0.shape[0]
+    if T <= FLAT_PANEL_MAX_TRIS:
+        from . import panel
+        return panel.make_intersectors(geometry, cfg)
+    from . import clustered
+    return clustered.make_intersectors(geometry, cfg)

@@ -1,0 +1,43 @@
+"""Timing / throughput metrics.
+
+Replaces the reference's clock()-based FPS counter (CLEngineBase.cpp:
+193-196, shown at CLui.cpp:196-197) with a block_until_ready timing
+harness and structured per-frame metrics (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict
+
+import jax
+
+
+def time_fn(f: Callable[[], Any], iters: int = 5, warmup: int = 1) -> float:
+    """Mean wall-clock seconds per call, synchronized on device output."""
+    for _ in range(warmup):
+        jax.block_until_ready(f())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = f()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def render_metrics(seconds_per_frame: float, width: int, height: int,
+                   bounces: int, spp: int = 1) -> Dict[str, float]:
+    """Structured throughput record for one render configuration.
+
+    'rays' counts one ray per pixel per bounce per sample — the direct
+    extension of the reference's work-item-per-pixel workload
+    (CLRaytracer.cpp:53) to multi-bounce batches.
+    """
+    rays = width * height * bounces * spp
+    return {
+        "seconds_per_frame": seconds_per_frame,
+        "fps": 1.0 / seconds_per_frame,
+        "rays_per_frame": float(rays),
+        "rays_per_second": rays / seconds_per_frame,
+        "mrays_per_second": rays / seconds_per_frame / 1e6,
+    }

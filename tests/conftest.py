@@ -19,6 +19,12 @@ import pytest
 
 import jax
 
+# Persistent compilation cache: first-compile latency dominates test time
+# otherwise (minutes per graph).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture(scope="session")
 def cornell():

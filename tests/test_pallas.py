@@ -1,0 +1,63 @@
+"""Pallas kernel tests in interpret mode vs the jnp oracle (SURVEY.md
+section 4: 'each Pallas kernel tested in interpret=True mode vs its jnp
+reference')."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mini_opencl_raytracer_tpu as mrt
+from mini_opencl_raytracer_tpu.ops.pallas import panel
+
+
+def _random_rays(n, seed=0):
+    r = np.random.default_rng(seed)
+    o = r.uniform([-7, -20, 1], [7, 19, 16], size=(n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_panel_matches_bruteforce(cornell):
+    geo = cornell.geometry
+    tri = panel.pack_triangles(geo)
+    o, d = _random_rays(2048)
+    brute = mrt.intersect_brute(o, d, geo, t_max=1e5)
+    ph = panel.intersect_panel(o, d, geo, tri, t_max=1e5)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ph.hit))
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ph.t)[m],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(brute.tri_idx)[m],
+                                  np.asarray(ph.tri_idx)[m])
+
+
+def test_panel_ragged_ray_count(cornell):
+    """Ray counts that are not a multiple of the tile size are padded."""
+    geo = cornell.geometry
+    tri = panel.pack_triangles(geo)
+    o, d = _random_rays(100, seed=5)
+    brute = mrt.intersect_brute(o, d, geo, t_max=1e5)
+    ph = panel.intersect_panel(o, d, geo, tri, t_max=1e5)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ph.hit))
+
+
+def test_panel_occlusion(cornell):
+    geo = cornell.geometry
+    tri = panel.pack_triangles(geo)
+    o, d = _random_rays(1024, seed=2)
+    limit = jnp.full((1024,), 6.0)
+    brute = mrt.occluded_brute(o, d, limit, geo)
+    pocc = panel.occluded_panel(o, d, limit, geo, tri)
+    np.testing.assert_array_equal(np.asarray(brute), np.asarray(pocc))
+
+
+def test_pallas_render_matches_oracle(cornell):
+    cfg_p = mrt.RenderConfig(width=32, height=32, bounces=2,
+                             backend="pallas")
+    cfg_o = mrt.RenderConfig(width=32, height=32, bounces=2,
+                             backend="bruteforce")
+    cam = mrt.Camera.default()
+    img_p = np.asarray(mrt.render_sample(cornell, cam, cfg_p))
+    img_o = np.asarray(mrt.render_sample(cornell, cam, cfg_o))
+    np.testing.assert_allclose(img_p, img_o, rtol=1e-4, atol=1e-4)

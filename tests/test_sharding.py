@@ -1,0 +1,85 @@
+"""Distributed tests on 8 virtual CPU devices (SURVEY.md section 4):
+sharded renders must match the single-device render."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+import mini_opencl_raytracer_tpu as mrt
+from mini_opencl_raytracer_tpu.config import MeshConfig
+from mini_opencl_raytracer_tpu.parallel import mesh as mesh_mod
+from mini_opencl_raytracer_tpu.parallel.shard import (render_sample_dp,
+                                                      render_sample_ring)
+
+CFG = mrt.RenderConfig(width=32, height=32, bounces=2,
+                       backend="bruteforce", ray_chunk=256)
+CAM = mrt.Camera.default()
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def reference_image(cornell):
+    return np.asarray(mrt.render_sample(cornell, CAM, CFG))
+
+
+def test_dp_sharded_matches_single(cornell, reference_image):
+    mesh_cfg = MeshConfig(dp=8, tp=1)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_dp(cornell, CAM, CFG, mesh,
+                                      mesh_cfg=mesh_cfg))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_sharded_matches_single(cornell, reference_image):
+    """dp=4 x tp=2: pixels sharded AND geometry ring-sharded."""
+    mesh_cfg = MeshConfig(dp=4, tp=2)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_ring(cornell, CAM, CFG, mesh,
+                                        mesh_cfg=mesh_cfg))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_tp4(cornell, reference_image):
+    mesh_cfg = MeshConfig(dp=2, tp=4)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_ring(cornell, CAM, CFG, mesh,
+                                        mesh_cfg=mesh_cfg))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_gradients_match(cornell):
+    """Gradients w.r.t. materials through the sharded render must match
+    the single-device gradients (psum correctness)."""
+    mesh_cfg = MeshConfig(dp=8, tp=1)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+
+    def loss_single(kd):
+        s = cornell.replace(materials=cornell.materials.replace(diffuse=kd))
+        return jnp.mean(mrt.render_sample(s, CAM, CFG))
+
+    def loss_dp(kd):
+        s = cornell.replace(materials=cornell.materials.replace(diffuse=kd))
+        return jnp.mean(render_sample_dp(s, CAM, CFG, mesh,
+                                         mesh_cfg=mesh_cfg))
+
+    kd = cornell.materials.diffuse
+    g1 = np.asarray(jax.grad(loss_single)(kd))
+    g2 = np.asarray(jax.grad(loss_dp)(kd))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 256, 3)
+    assert bool(jnp.isfinite(out).all())

@@ -1,0 +1,101 @@
+"""Utility-layer tests: image IO, checkpoint/resume, metrics, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mini_opencl_raytracer_tpu as mrt
+from mini_opencl_raytracer_tpu.utils import checkpoint as ckpt
+from mini_opencl_raytracer_tpu.utils.image import (to_uint8, write_npy,
+                                                   write_pfm, write_png,
+                                                   _write_png_pure)
+from mini_opencl_raytracer_tpu.utils.metrics import render_metrics
+
+
+def test_to_uint8_clips():
+    img = np.array([[[-0.5, 0.5, 2.0]]])
+    out = to_uint8(img)
+    assert out.tolist() == [[[0, 128, 255]]]
+
+
+def test_write_png_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(size=(8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    from PIL import Image
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, to_uint8(img))
+
+
+def test_pure_png_writer(tmp_path):
+    img = np.random.default_rng(1).uniform(size=(4, 6, 3)).astype(np.float32)
+    p = str(tmp_path / "pure.png")
+    _write_png_pure(p, to_uint8(img))
+    from PIL import Image
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, to_uint8(img))
+
+
+def test_write_pfm(tmp_path):
+    img = np.random.default_rng(2).uniform(size=(4, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    write_pfm(p, img)
+    with open(p, "rb") as f:
+        assert f.readline() == b"PF\n"
+        assert f.readline() == b"4 4\n"
+        assert f.readline() == b"-1.0\n"
+        data = np.frombuffer(f.read(), np.float32).reshape(4, 4, 3)
+    np.testing.assert_allclose(data, img[::-1])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = mrt.RenderConfig(width=8, height=8)
+    state = mrt.RenderState(
+        radiance_sum=jnp.arange(8 * 8 * 3, dtype=jnp.float32).reshape(8, 8, 3),
+        num_samples=jnp.int32(7))
+    p = str(tmp_path / "state.npz")
+    ckpt.save_render_state(p, state)
+    back = ckpt.load_render_state(p, mrt.RenderState.create(cfg))
+    np.testing.assert_allclose(np.asarray(back.radiance_sum),
+                               np.asarray(state.radiance_sum))
+    assert int(back.num_samples) == 7
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    state = mrt.RenderState.create(mrt.RenderConfig(width=8, height=8))
+    p = str(tmp_path / "state.npz")
+    ckpt.save_render_state(p, state)
+    with pytest.raises(ValueError):
+        ckpt.load_render_state(
+            p, mrt.RenderState.create(mrt.RenderConfig(width=16, height=16)))
+
+
+def test_render_metrics():
+    m = render_metrics(0.5, 100, 100, 4)
+    assert m["rays_per_second"] == pytest.approx(100 * 100 * 4 / 0.5)
+    assert m["fps"] == pytest.approx(2.0)
+
+
+@pytest.mark.slow
+def test_cli_render_and_resume(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = str(tmp_path / "img.png")
+    ck = str(tmp_path / "st.npz")
+    base = [sys.executable, "-m", "mini_opencl_raytracer_tpu.cli", "render",
+            "--width", "32", "--height", "32", "--bounces", "2",
+            "--backend", "bruteforce", "--frames", "2", "--out", out,
+            "--checkpoint", ck]
+    r = subprocess.run(base, env=env, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out) and os.path.exists(ck)
+    # Resume two more frames.
+    r2 = subprocess.run(base + ["--resume", ck], env=env,
+                        capture_output=True, text=True, timeout=900)
+    assert r2.returncode == 0, r2.stderr
+    assert "resumed at 2 samples" in r2.stderr
