@@ -25,15 +25,16 @@ from .models.cornell import (cornell_scene, cornell_geometry,
                              CORNELL_MATERIAL_NAMES)
 from .ops.bvh import BVH, build_bvh, intersect_bvh, occluded_bvh
 from .ops.intersect import Hit, intersect_brute, occluded_brute, ray_triangle
-from .render import (RenderState, accumulate, make_intersectors, render,
-                     render_radiance, render_sample, to_image)
+from .render import (RenderState, accumulate, build_accel,
+                     make_intersectors, render, render_radiance,
+                     render_sample, to_image)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BVH", "BVHConfig", "Camera", "Geometry", "Hit", "Lights",
     "LIGHT_DIRECTIONAL", "LIGHT_POINT", "LIGHT_SPOT", "Materials",
-    "MeshConfig", "RenderConfig", "RenderState", "Scene", "accumulate",
+    "MeshConfig", "RenderConfig", "RenderState", "Scene", "accumulate", "build_accel",
     "build_bvh", "cornell_geometry", "cornell_materials", "cornell_scene",
     "CORNELL_MATERIAL_NAMES", "intersect_brute", "intersect_bvh",
     "load_mtl", "load_obj", "load_scene", "make_intersectors",

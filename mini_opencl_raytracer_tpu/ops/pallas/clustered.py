@@ -71,43 +71,72 @@ class ClusteredGeometry(NamedTuple):
         return self.sup_aabb.shape[0]
 
 
-def build_clusters(geometry: Geometry) -> ClusteredGeometry:
-    """Morton-sort triangles and build the two AABB levels (pure jnp)."""
+def build_clusters(geometry: Geometry,
+                   leaf_info=None) -> ClusteredGeometry:
+    """Cluster the triangle soup and build the two AABB levels.
+
+    ``leaf_info`` is an optional host-side (numpy) SAH layout from
+    ``native.sah_order`` — (order, leaf_starts, leaf_counts), one SAH
+    leaf per cluster block, DFS order (spatially tight clusters; the
+    analog of the reference's SAH build, CLBVHnode.cpp:76-134, feeding
+    this kernel instead of a node array). When None — or when tracing
+    under jit, where host callbacks are unavailable — triangles are
+    Morton-sorted into fixed-size range clusters with pure jnp ops.
+    """
     v0 = jax.lax.stop_gradient(geometry.v0).astype(jnp.float32)
     v1 = jax.lax.stop_gradient(geometry.v1).astype(jnp.float32)
     v2 = jax.lax.stop_gradient(geometry.v2).astype(jnp.float32)
     T = v0.shape[0]
 
-    cent = (v0 + v1 + v2) / 3.0
-    lo = jnp.min(cent, axis=0)
-    hi = jnp.max(cent, axis=0)
-    codes = morton3d((cent - lo) / jnp.maximum(hi - lo, 1e-12))
-    _, order = jax.lax.sort_key_val(codes, jnp.arange(T, dtype=jnp.int32))
-
-    C = max(-(-T // CLUSTER), 1)
-    S = max(-(-C // SUPER), 1)
-    C_pad = S * SUPER
-    T_pad = C_pad * CLUSTER
+    if leaf_info is not None:
+        import numpy as np
+        order_np, starts, counts = leaf_info
+        C = max(len(starts), 1)
+        S = max(-(-C // SUPER), 1)
+        C_pad = S * SUPER
+        T_pad = C_pad * CLUSTER
+        # Scatter each SAH leaf into its own CLUSTER-slot block.
+        slot_src = np.full((T_pad,), -1, np.int32)
+        if len(starts):
+            leaf_ids = np.repeat(np.arange(C, dtype=np.int64), counts)
+            within = np.arange(T, dtype=np.int64) - np.repeat(
+                starts.astype(np.int64), counts)
+            slot_src[leaf_ids * CLUSTER + within] = order_np
+        slot = jnp.asarray(slot_src)
+        valid = slot >= 0
+        order = jnp.maximum(slot, 0)
+        real = valid[:, None]
+    else:
+        cent = (v0 + v1 + v2) / 3.0
+        lo = jnp.min(cent, axis=0)
+        hi = jnp.max(cent, axis=0)
+        codes = morton3d((cent - lo) / jnp.maximum(hi - lo, 1e-12))
+        _, morder = jax.lax.sort_key_val(codes,
+                                         jnp.arange(T, dtype=jnp.int32))
+        C = max(-(-T // CLUSTER), 1)
+        S = max(-(-C // SUPER), 1)
+        C_pad = S * SUPER
+        T_pad = C_pad * CLUSTER
+        order = jnp.pad(morder, (0, T_pad - T))
+        valid = jnp.arange(T_pad) < T
+        real = valid[:, None]
 
     def take_pad(a):
-        a = jnp.take(a, order, axis=0)
-        return jnp.pad(a, ((0, T_pad - T), (0, 0)), constant_values=_BIG)
+        g = jnp.take(a, order, axis=0)
+        return jnp.where(real, g, _BIG)
 
     pv0, pv1, pv2 = take_pad(v0), take_pad(v1), take_pad(v2)
-    slot_to_tri = jnp.pad(order, (0, T_pad - T))
+    slot_to_tri = jnp.where(valid, order, 0)
 
     # Lane dim padded to 128 so cluster DMA slices are tile-aligned
     # (Mosaic requires dim-1 slices in multiples of 128).
     tri = jnp.zeros((T_pad, 128), jnp.float32)
     tri = tri.at[:, 0:3].set(pv0)
     # Padding rows: v0 = BIG but e1 = e2 = 0 -> det == 0 -> never hit.
-    e1 = jnp.where((slot_to_tri[:, None] >= 0)
-                   & (jnp.arange(T_pad)[:, None] < T), pv1 - pv0, 0.0)
-    e2 = jnp.where(jnp.arange(T_pad)[:, None] < T, pv2 - pv0, 0.0)
+    e1 = jnp.where(real, pv1 - pv0, 0.0)
+    e2 = jnp.where(real, pv2 - pv0, 0.0)
     tri = tri.at[:, 3:6].set(e1)
     tri = tri.at[:, 6:9].set(e2)
-
-    real = (jnp.arange(T_pad) < T)[:, None]
     t_lo = jnp.where(real, jnp.minimum(jnp.minimum(pv0, pv1), pv2), _BIG)
     t_hi = jnp.where(real, jnp.maximum(jnp.maximum(pv0, pv1), pv2), -_BIG)
 
@@ -170,20 +199,78 @@ def _aabb_cols(ref, start, n):
     return tuple(ref[pl.ds(start, n), k:k + 1] for k in range(6))
 
 
+# Concurrent cluster-DMA slots per super visit. All hit clusters' copies
+# launch before the first intersection waits on one — full copy/compute
+# overlap within a super (NSLOTS x [CLUSTER, 128] f32 = 512 KB VMEM).
+NSLOTS = 16
+
+
 def _clustered_kernel(sup_ref, cl_ref, tri_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tin_ref, tout_ref, idx_ref,
-                      mask_scratch, best_scratch, tri_scratch, dma_sem,
+                      mask_scratch, best_scratch, tri_scratch, slot_tbl,
+                      dma_sems,
                       *, num_supers: int, backface_cull: bool):
     """Grid step: ROWS x 128 rays, packet descent over supers/clusters.
 
-    ``tri_ref`` lives in HBM (a large scene cannot be VMEM-resident);
-    each visited cluster's [CLUSTER, 16] block (~4 KB) is DMA'd into
-    ``tri_scratch`` on demand — the packet amortizes the copy over 128
-    rays, and only clusters the packet's AABB tests survive are fetched.
+    ``tri_ref`` lives in HBM (a large scene cannot be VMEM-resident).
+    Per visited super the kernel (a) slab-tests all SUPER cluster AABBs
+    as one panel, (b) assigns DMA slots to hit clusters with a vector
+    cumsum, (c) launches up to NSLOTS async copies back-to-back, then
+    (d) drains them in order, intersecting each [CLUSTER, 128] block as
+    its copy lands — DMA latency hides behind the previous block's
+    Moller-Trumbore panel. Slot overflow falls back to serial fetches.
+
+    mask_scratch column map: 0 = super any-hit counts, 1 = cluster
+    any-hit counts (current super), 2 = cluster DMA slot ids,
+    ``slot_tbl`` (SMEM) maps DMA slot -> cluster index within the super.
     """
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (CLUSTER, _LANES), 0).astype(jnp.float32)
+
+    def intersect_block(buf, base_f, dx, dy, dz, ox, oy, oz):
+        v0x = buf[:, 0:1]
+        v0y = buf[:, 1:2]
+        v0z = buf[:, 2:3]
+        e1x = buf[:, 3:4]
+        e1y = buf[:, 4:5]
+        e1z = buf[:, 5:6]
+        e2x = buf[:, 6:7]
+        e2y = buf[:, 7:8]
+        e2z = buf[:, 8:9]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if backface_cull:
+            dvalid = det > 1e-10
+        else:
+            dvalid = jnp.abs(det) > 1e-10
+        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+        t_best = best_scratch[0:1, :]
+        ok = (dvalid & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (tt > 0.0) & (tt < t_best))
+        tt = jnp.where(ok, tt, _BIG)
+        t_blk = jnp.min(tt, axis=0, keepdims=True)
+        win = tt <= t_blk
+        i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
+                        axis=0, keepdims=True)
+        better = t_blk < t_best
+        best_scratch[0:1, :] = jnp.where(better, t_blk, t_best)
+        best_scratch[1:2, :] = jnp.where(
+            better, i_blk + base_f, best_scratch[1:2, :])
 
     def process_row(r, _):
         ox = ox_ref[pl.ds(r, 1), :]
@@ -217,65 +304,74 @@ def _clustered_kernel(sup_ref, cl_ref, tri_ref,
                 cl_hit = _slab_panel(
                     _aabb_cols(cl_ref, s * SUPER, SUPER),
                     ox, oy, oz, ix, iy, iz, t_far)   # [SUPER, 128]
-                mask_scratch[pl.ds(0, SUPER), 1:2] = jnp.sum(
-                    cl_hit.astype(jnp.float32), axis=1, keepdims=True)
+                hits_f = jnp.any(cl_hit, axis=1,
+                                 keepdims=True).astype(jnp.float32)
+                mask_scratch[pl.ds(0, SUPER), 1:2] = hits_f
+                # Vector slot assignment: slot_j = #hits before j —
+                # exclusive prefix sum as a strictly-lower-triangular
+                # matmul (cumsum has no Mosaic lowering).
+                row = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 1)
+                tril = (row > col).astype(jnp.float32)
+                slots = jnp.dot(tril, hits_f,
+                                preferred_element_type=jnp.float32)
+                mask_scratch[pl.ds(0, SUPER), 2:3] = jnp.where(
+                    hits_f > 0.0, slots, -1.0)
 
-                def cluster_body(j, _):
-                    @pl.when(mask_scratch[j, 1] > 0.0)
+                # Pass A: launch DMAs for slotted hit clusters; record
+                # slot -> cluster id (scalar f32 cells in column 3).
+                def launch(j, _):
+                    slot_f = mask_scratch[j, 2]
+                    @pl.when((slot_f >= 0.0)
+                             & (slot_f < float(NSLOTS)))
                     def _():
+                        slot = slot_f.astype(jnp.int32)
                         base = (s * SUPER + j) * CLUSTER
-                        dma = pltpu.make_async_copy(
+                        pltpu.make_async_copy(
                             tri_ref.at[pl.ds(base, CLUSTER), :],
-                            tri_scratch, dma_sem)
-                        dma.start()
-                        dma.wait()
-                        v0x = tri_scratch[:, 0:1]
-                        v0y = tri_scratch[:, 1:2]
-                        v0z = tri_scratch[:, 2:3]
-                        e1x = tri_scratch[:, 3:4]
-                        e1y = tri_scratch[:, 4:5]
-                        e1z = tri_scratch[:, 5:6]
-                        e2x = tri_scratch[:, 6:7]
-                        e2y = tri_scratch[:, 7:8]
-                        e2z = tri_scratch[:, 8:9]
-
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        if backface_cull:
-                            dvalid = det > 1e-10
-                        else:
-                            dvalid = jnp.abs(det) > 1e-10
-                        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
-
-                        tx = ox - v0x
-                        ty = oy - v0y
-                        tz = oz - v0z
-                        u = (tx * px + ty * py + tz * pz) * inv_det
-                        qx = ty * e1z - tz * e1y
-                        qy = tz * e1x - tx * e1z
-                        qz = tx * e1y - ty * e1x
-                        v = (dx * qx + dy * qy + dz * qz) * inv_det
-                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-                        t_best = best_scratch[0:1, :]
-                        ok = (dvalid & (u >= 0.0) & (v >= 0.0)
-                              & (u + v <= 1.0) & (tt > 0.0) & (tt < t_best))
-                        tt = jnp.where(ok, tt, _BIG)
-                        t_blk = jnp.min(tt, axis=0, keepdims=True)
-                        win = tt <= t_blk
-                        i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
-                                        axis=0, keepdims=True)
-                        better = t_blk < t_best
-                        best_scratch[0:1, :] = jnp.where(better, t_blk,
-                                                         t_best)
-                        best_scratch[1:2, :] = jnp.where(
-                            better, i_blk + jnp.float32(base),
-                            best_scratch[1:2, :])
+                            tri_scratch.at[slot],
+                            dma_sems.at[slot]).start()
+                        slot_tbl[slot] = j
                     return 0
+                jax.lax.fori_loop(0, SUPER, launch, 0)
 
-                jax.lax.fori_loop(0, SUPER, cluster_body, 0)
+                # Pass B: drain slots in order, intersecting as copies
+                # land.
+                n_hit = jnp.sum(hits_f).astype(jnp.int32)
+                def drain(k, _):
+                    @pl.when(k < n_hit)
+                    def _():
+                        j = slot_tbl[k]
+                        base = (s * SUPER + j) * CLUSTER
+                        pltpu.make_async_copy(
+                            tri_ref.at[pl.ds(base, CLUSTER), :],
+                            tri_scratch.at[k],
+                            dma_sems.at[k]).wait()
+                        intersect_block(tri_scratch[k],
+                                        jnp.float32(base),
+                                        dx, dy, dz, ox, oy, oz)
+                    return 0
+                jax.lax.fori_loop(0, min(NSLOTS, SUPER), drain, 0)
+
+                # Pass C: slot overflow (> NSLOTS hit clusters) —
+                # serial fetch + intersect; rare for coherent packets.
+                @pl.when(n_hit > NSLOTS)
+                def _():
+                    def leftover(j, _):
+                        @pl.when(mask_scratch[j, 2] >= float(NSLOTS))
+                        def _():
+                            base = (s * SUPER + j) * CLUSTER
+                            dma = pltpu.make_async_copy(
+                                tri_ref.at[pl.ds(base, CLUSTER), :],
+                                tri_scratch.at[0],
+                                dma_sems.at[0])
+                            dma.start()
+                            dma.wait()
+                            intersect_block(tri_scratch[0],
+                                            jnp.float32(base),
+                                            dx, dy, dz, ox, oy, oz)
+                        return 0
+                    jax.lax.fori_loop(0, SUPER, leftover, 0)
             return 0
 
         jax.lax.fori_loop(0, num_supers, super_body, 0)
@@ -324,8 +420,9 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
         scratch_shapes=[
             pltpu.VMEM((max(S_rows, SUPER), 8), jnp.float32),  # masks
             pltpu.VMEM((8, _LANES), jnp.float32),              # best t/idx
-            pltpu.VMEM((CLUSTER, 128), jnp.float32),           # tri block
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NSLOTS, CLUSTER, 128), jnp.float32),   # tri blocks
+            pltpu.SMEM((NSLOTS,), jnp.int32),                  # slot table
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
         interpret=_interpret(),
     )(cg.sup_aabb, cg.cl_aabb, cg.tri, *comps)
@@ -358,8 +455,25 @@ def occluded_clustered(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     return slot >= 0
 
 
-def make_intersectors(geometry: Geometry, cfg: RenderConfig):
-    cg = build_clusters(geometry)
+def build_accel(geometry: Geometry) -> ClusteredGeometry:
+    """Host-side accel build: SAH clusters via the native C++ builder
+    when available (mini_opencl_raytracer_tpu.native), else Morton.
+    Call OUTSIDE jit with concrete arrays; pass the result through
+    ``accel`` parameters."""
+    import numpy as np
+    from ... import native
+    leaf_info = None
+    if native.available():
+        leaf_info = native.sah_order(
+            np.asarray(geometry.v0, np.float32),
+            np.asarray(geometry.v1, np.float32),
+            np.asarray(geometry.v2, np.float32),
+            leaf_size=CLUSTER)
+    return build_clusters(geometry, leaf_info=leaf_info)
+
+
+def make_intersectors(geometry: Geometry, cfg: RenderConfig, accel=None):
+    cg = accel if accel is not None else build_clusters(geometry)
     closest = functools.partial(intersect_clustered, cg=cg, t_max=cfg.t_max,
                                 backface_cull=cfg.backface_cull)
     any_hit = functools.partial(occluded_clustered, cg=cg,

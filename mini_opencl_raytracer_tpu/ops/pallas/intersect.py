@@ -12,10 +12,20 @@ from ...models.scene import Geometry
 FLAT_PANEL_MAX_TRIS = 2048
 
 
-def make_intersectors(geometry: Geometry, cfg: RenderConfig):
+def make_intersectors(geometry: Geometry, cfg: RenderConfig, accel=None):
     T = geometry.v0.shape[0]
     if T <= FLAT_PANEL_MAX_TRIS:
         from . import panel
         return panel.make_intersectors(geometry, cfg)
     from . import clustered
-    return clustered.make_intersectors(geometry, cfg)
+    return clustered.make_intersectors(geometry, cfg, accel=accel)
+
+
+def build_accel(geometry: Geometry, cfg: RenderConfig):
+    """Host-side acceleration build for the pallas backend (SAH clusters
+    via the native builder for big scenes; small scenes need none)."""
+    T = geometry.v0.shape[0]
+    if T <= FLAT_PANEL_MAX_TRIS:
+        return None
+    from . import clustered
+    return clustered.build_accel(geometry)

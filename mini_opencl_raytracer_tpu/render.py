@@ -39,7 +39,8 @@ from .ops.pallas import intersect as pallas_mod
 
 
 def make_intersectors(scene: Scene, cfg: RenderConfig,
-                      bvh: Optional["bvh_mod.BVH"] = None):
+                      bvh: Optional["bvh_mod.BVH"] = None,
+                      accel=None):
     """Build (closest_hit_fn, any_hit_fn) for the configured backend.
 
     Backends:
@@ -67,8 +68,19 @@ def make_intersectors(scene: Scene, cfg: RenderConfig,
             backface_cull=cfg.backface_cull)
         return closest, any_hit
     if cfg.backend == "pallas":
-        return pallas_mod.make_intersectors(geo, cfg)
+        return pallas_mod.make_intersectors(geo, cfg, accel=accel)
     raise ValueError(f"unknown backend: {cfg.backend!r}")
+
+
+def build_accel(scene: Scene, cfg: RenderConfig):
+    """Host-side acceleration-structure build for the configured backend
+    (call once per scene, OUTSIDE jit, and pass to render via ``accel``/
+    ``bvh``). Uses the native C++ SAH builder when available."""
+    if cfg.backend == "bvh":
+        return bvh_mod.build_bvh(scene.geometry, BVHConfig())
+    if cfg.backend == "pallas":
+        return pallas_mod.build_accel(scene.geometry, cfg)
+    return None
 
 
 @struct.dataclass
@@ -92,18 +104,50 @@ class RenderState:
         return self.radiance_sum / n
 
 
+# Packet tile shape: 8 x 16 pixels = 128 rays = one VPU lane group. The
+# wavefront is traced in tile-swizzled order so each 128-lane packet in
+# the Pallas kernels covers a *square* screen tile instead of a skinny
+# 128x1 scanline strip — the cluster-culling kernel's AABB unions shrink
+# by an order of magnitude for primary/shadow packets.
+_TILE_H, _TILE_W = 8, 16
+
+
+def _swizzled_ids(cfg: RenderConfig) -> Optional[jax.Array]:
+    """Flat pixel ids in tile-major order, or None if the resolution
+    doesn't tile evenly (fall back to scanline order)."""
+    H, W = cfg.height, cfg.width
+    if H % _TILE_H or W % _TILE_W:
+        return None
+    ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    return (ids.reshape(H // _TILE_H, _TILE_H, W // _TILE_W, _TILE_W)
+            .transpose(0, 2, 1, 3).reshape(-1))
+
+
+def _unswizzle_image(radiance: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """[R, 3] tile-major radiance -> [H, W, 3] image (pure reshapes)."""
+    H, W = cfg.height, cfg.width
+    return (radiance.reshape(H // _TILE_H, W // _TILE_W, _TILE_H, _TILE_W, 3)
+            .transpose(0, 2, 1, 3, 4).reshape(H, W, 3))
+
+
 def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
                   frame=0,
-                  bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+                  bvh: Optional["bvh_mod.BVH"] = None,
+                  accel=None) -> jax.Array:
     """Render one progressive sample -> linear radiance [H, W, 3].
 
     ``frame`` seeds the per-pixel RNG exactly like the reference's
     frameCount (kernel_bvh.cl:445); successive frames decorrelate the
-    jitter and the path choices.
+    jitter and the path choices. Rays are traced in tile-swizzled order
+    (see _swizzled_ids) — per-pixel values are identical either way, only
+    the wavefront layout changes.
     """
-    closest, any_hit = make_intersectors(scene, cfg, bvh=bvh)
+    closest, any_hit = make_intersectors(scene, cfg, bvh=bvh, accel=accel)
     R = cfg.num_pixels
-    pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+    pixel_ids = _swizzled_ids(cfg)
+    swizzled = pixel_ids is not None
+    if not swizzled:
+        pixel_ids = jnp.arange(R, dtype=jnp.uint32)
 
     def one_spp(s, acc):
         seeds = rng.pixel_seeds(pixel_ids,
@@ -115,7 +159,10 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     total = jax.lax.fori_loop(
         0, cfg.spp, one_spp, jnp.zeros((R, 3), cfg.jnp_dtype()))
-    return (total / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    total = total / cfg.spp
+    if swizzled:
+        return _unswizzle_image(total, cfg)
+    return total.reshape(cfg.height, cfg.width, 3)
 
 
 def accumulate(state: RenderState, sample: jax.Array,
@@ -140,24 +187,26 @@ def to_image(state_or_radiance, gamma: float = 2.2) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("cfg", "frames"))
 def render(scene: Scene, camera: Camera, cfg: RenderConfig,
            frames: int = 1,
-           bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+           bvh: Optional["bvh_mod.BVH"] = None,
+           accel=None) -> jax.Array:
     """Render ``frames`` progressive samples and return the gamma-encoded
     image [H, W, 3] — the headless equivalent of letting the reference's
     window accumulate ``frames`` frames."""
     def body(f, st):
         return accumulate(st, render_sample(scene, camera, cfg, frame=f,
-                                            bvh=bvh))
+                                            bvh=bvh, accel=accel))
     state = jax.lax.fori_loop(0, frames, body, RenderState.create(cfg))
     return to_image(state, cfg.gamma)
 
 
 def render_radiance(scene: Scene, camera: Camera, cfg: RenderConfig,
                     frames: int = 1,
-                    bvh: Optional["bvh_mod.BVH"] = None) -> jax.Array:
+                    bvh: Optional["bvh_mod.BVH"] = None,
+                    accel=None) -> jax.Array:
     """Like ``render`` but returns the *linear* mean radiance (the
     quantity used for gradient-based optimization and FD tests)."""
     def body(f, st):
         return accumulate(st, render_sample(scene, camera, cfg, frame=f,
-                                            bvh=bvh))
+                                            bvh=bvh, accel=accel))
     state = jax.lax.fori_loop(0, frames, body, RenderState.create(cfg))
     return state.mean()

@@ -74,3 +74,25 @@ def test_negative_indices(tmp_path):
     geo, _, _ = mrt.load_obj(str(obj))
     assert geo.num_triangles == 1
     np.testing.assert_allclose(np.asarray(geo.v1), [[1, 0, 0]], atol=1e-6)
+
+
+def test_native_parser_matches_python(cornell_files):
+    """The C++ OBJ parser must produce the same buffers as the Python
+    parser (skips without a compiler)."""
+    from mini_opencl_raytracer_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    obj_path, _ = cornell_files
+    res = native.parse_obj_native(obj_path)
+    assert res is not None
+    v, n, uv, mat, names = res
+    geo, _, pynames = mrt.load_obj(obj_path)
+    assert v.shape[1] == geo.num_triangles
+    np.testing.assert_allclose(v[0], np.asarray(geo.v0), atol=1e-5)
+    np.testing.assert_allclose(v[1], np.asarray(geo.v1), atol=1e-5)
+    np.testing.assert_allclose(v[2], np.asarray(geo.v2), atol=1e-5)
+    np.testing.assert_allclose(n[0], np.asarray(geo.n0), atol=1e-5)
+    np.testing.assert_allclose(uv[2], np.asarray(geo.uv2), atol=1e-5)
+    # usemtl appearance order matches the MTL-declared order for cornell.
+    np.testing.assert_array_equal(mat, np.asarray(geo.mat_idx))

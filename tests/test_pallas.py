@@ -61,3 +61,62 @@ def test_pallas_render_matches_oracle(cornell):
     img_p = np.asarray(mrt.render_sample(cornell, cam, cfg_p))
     img_o = np.asarray(mrt.render_sample(cornell, cam, cfg_o))
     np.testing.assert_allclose(img_p, img_o, rtol=1e-4, atol=1e-4)
+
+
+def _soup(n, seed=7):
+    r = np.random.default_rng(seed)
+    base = r.uniform([-8, 0, 0], [8, 20, 17], size=(n, 3)).astype(np.float32)
+    e1 = r.normal(scale=0.8, size=(n, 3)).astype(np.float32)
+    e2 = r.normal(scale=0.8, size=(n, 3)).astype(np.float32)
+    return mrt.Geometry(
+        v0=jnp.asarray(base), v1=jnp.asarray(base + e1),
+        v2=jnp.asarray(base + e2),
+        n0=jnp.zeros((n, 3)), n1=jnp.zeros((n, 3)), n2=jnp.zeros((n, 3)),
+        uv0=jnp.zeros((n, 2)), uv1=jnp.zeros((n, 2)), uv2=jnp.zeros((n, 2)),
+        mat_idx=jnp.zeros((n,), jnp.int32))
+
+
+def test_clustered_matches_bruteforce():
+    """Cluster-culled kernel (morton layout) vs oracle on a random soup
+    big enough to span multiple supers."""
+    from mini_opencl_raytracer_tpu.ops.pallas import clustered
+    geo = _soup(3000)
+    cg = clustered.build_clusters(geo)
+    o, d = _random_rays(512, seed=11)
+    brute = mrt.intersect_brute(o, d, geo, t_max=1e5, ray_chunk=256)
+    ch = clustered.intersect_clustered(o, d, cg, t_max=1e5)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ch.hit))
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ch.t)[m],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(brute.tri_idx)[m],
+                                  np.asarray(ch.tri_idx)[m])
+
+
+def test_clustered_sah_layout_matches():
+    """Same kernel with the native SAH cluster layout (skips if the C++
+    builder is unavailable)."""
+    from mini_opencl_raytracer_tpu import native
+    from mini_opencl_raytracer_tpu.ops.pallas import clustered
+    if not native.available():
+        pytest.skip("native SAH builder unavailable")
+    geo = _soup(3000, seed=9)
+    cg = clustered.build_accel(geo)
+    o, d = _random_rays(512, seed=12)
+    brute = mrt.intersect_brute(o, d, geo, t_max=1e5, ray_chunk=256)
+    ch = clustered.intersect_clustered(o, d, cg, t_max=1e5)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ch.hit))
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ch.t)[m],
+                               rtol=1e-5)
+
+
+def test_clustered_occlusion():
+    from mini_opencl_raytracer_tpu.ops.pallas import clustered
+    geo = _soup(3000)
+    cg = clustered.build_clusters(geo)
+    o, d = _random_rays(256, seed=13)
+    limit = jnp.full((256,), 8.0)
+    brute = mrt.occluded_brute(o, d, limit, geo, ray_chunk=256)
+    occ = clustered.occluded_clustered(o, d, limit, cg)
+    np.testing.assert_array_equal(np.asarray(brute), np.asarray(occ))
