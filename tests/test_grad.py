@@ -136,9 +136,22 @@ def test_material_optimization_converges(cornell):
         return jnp.mean((img - target) ** 2)
 
     kd = target_kd * 0.3 + 0.2  # wrong start
+    # Adam (host-side): the raw MSE gradient scale is dominated by the few
+    # emissive pixels, so plain GD needs an absurd LR; per-parameter
+    # normalization is the standard fix (benchmark config 4's loop). The
+    # update runs in NumPy so the only compiled graph is grad(loss).
     g = jax.jit(jax.grad(loss))
     l0 = float(loss(kd))
-    for _ in range(30):
-        kd = kd - 2.0 * g(kd)
-    l1 = float(loss(kd))
+    kd = np.asarray(kd, np.float64)
+    m = np.zeros_like(kd)
+    v = np.zeros_like(kd)
+    lr, b1, b2, eps = 5e-2, 0.9, 0.999, 1e-8
+    for i in range(1, 61):
+        gi = np.asarray(g(jnp.asarray(kd, jnp.float32)), np.float64)
+        m = b1 * m + (1 - b1) * gi
+        v = b2 * v + (1 - b2) * gi * gi
+        mh = m / (1 - b1 ** i)
+        vh = v / (1 - b2 ** i)
+        kd = kd - lr * mh / (np.sqrt(vh) + eps)
+    l1 = float(loss(jnp.asarray(kd, jnp.float32)))
     assert l1 < l0 * 0.2
