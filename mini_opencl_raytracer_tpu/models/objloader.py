@@ -79,16 +79,42 @@ def load_mtl(path: str) -> Tuple[List[str], dict]:
     return names, mats
 
 
+def _native_triangles(path: str, name_to_idx: dict):
+    """Parse triangles with the C++ parser (native/objparse.cpp) and remap
+    its usemtl-appearance-order material slots to MTL declaration order by
+    *name* (the Python/MTL convention). Returns (v, n, uv, mat_idx) numpy
+    arrays, or None when the native library is unavailable or a usemtl
+    name is not in the MTL table (then the Python parser's keep-previous
+    semantics can't be reproduced post-hoc, so we fall back)."""
+    from .. import native
+    res = native.parse_obj_native(path)
+    if res is None:
+        return None
+    v, n, uv, mat, nat_names = res
+    if not all(nm in name_to_idx for nm in nat_names):
+        return None
+    # Slot -1 = face before any usemtl -> material 0 (Python default).
+    remap = np.zeros((len(nat_names) + 1,), np.int32)
+    for i, nm in enumerate(nat_names):
+        remap[i] = name_to_idx[nm]
+    mat_idx = remap[mat]  # mat==-1 indexes the trailing 0 entry
+    return v, n, uv, mat_idx
+
+
 def load_obj(
     path: str,
     mtl_path: Optional[str] = None,
     dtype=np.float32,
+    use_native: bool = True,
 ) -> Tuple[Geometry, Materials, List[str]]:
     """Parse an OBJ file into SoA triangle buffers.
 
     Returns (geometry, materials, material_names). If no MTL file is found
     a single default grey material is used (the reference would crash;
-    CLOBJloader.cpp:133-138).
+    CLOBJloader.cpp:133-138). Geometry parsing uses the native C++ parser
+    (native/objparse.cpp — the analog of the reference's C++ host loader,
+    CLOBJloader.cpp:16-129) when available; materials always parse in
+    Python (MTL files are tiny).
     """
     if mtl_path is None:
         guess = os.path.splitext(path)[0] + ".mtl"
@@ -107,6 +133,13 @@ def load_obj(
             }
         }
     name_to_idx = {n: i for i, n in enumerate(names)}
+
+    nat = (_native_triangles(path, name_to_idx)
+           if (use_native and dtype == np.float32) else None)
+    if nat is not None:
+        v, n, uv, tri_mats = nat
+        return (_build_geometry(v, n, uv, tri_mats),
+                _build_materials(mat_table, names), names)
 
     positions: List[np.ndarray] = []
     normals: List[np.ndarray] = []
@@ -168,20 +201,27 @@ def load_obj(
             gn = gn / norm if norm > 0 else np.array([0.0, 0.0, 1.0], dtype)
             n[0, t] = n[1, t] = n[2, t] = gn
 
-    geometry = Geometry(
+    return (_build_geometry(v, n, uv, tri_mats),
+            _build_materials(mat_table, names), names)
+
+
+def _build_geometry(v, n, uv, tri_mats) -> Geometry:
+    return Geometry(
         v0=jnp.asarray(v[0]), v1=jnp.asarray(v[1]), v2=jnp.asarray(v[2]),
         n0=jnp.asarray(n[0]), n1=jnp.asarray(n[1]), n2=jnp.asarray(n[2]),
         uv0=jnp.asarray(uv[0]), uv1=jnp.asarray(uv[1]), uv2=jnp.asarray(uv[2]),
         mat_idx=jnp.asarray(np.asarray(tri_mats, np.int32)),
     )
-    materials = Materials(
+
+
+def _build_materials(mat_table: dict, names: List[str]) -> Materials:
+    return Materials(
         diffuse=jnp.asarray(np.stack([mat_table[m]["diffuse"] for m in names])),
         specular=jnp.asarray(np.stack([mat_table[m]["specular"] for m in names])),
         emission=jnp.asarray(np.stack([mat_table[m]["emission"] for m in names])),
         roughness=jnp.asarray(np.stack([mat_table[m]["roughness"] for m in names])),
         ior=jnp.asarray(np.stack([mat_table[m]["ior"] for m in names])),
     )
-    return geometry, materials, names
 
 
 def load_scene(path: str, lights: Optional[Lights] = None) -> Scene:

@@ -38,7 +38,7 @@ bool parse_file(const char* path, ParseState* st) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   char line[4096];
-  int cur_mat = 0;
+  int cur_mat = -1;  // -1 = no usemtl seen yet (caller maps to default)
   std::vector<int> cp, ct, cn;  // corners of the current face
   while (std::fgets(line, sizeof(line), f)) {
     char* p = line;
@@ -178,7 +178,9 @@ int obj_fill(float* v, float* n, float* uvbuf, int32_t* mat) {
         uvbuf[(int64_t(c) * T + t) * 2 + k] =
             (ti >= 0 && ti < int(st.uv.size() / 2)) ? st.uv[2 * ti + k] : 0.f;
     }
-    mat[t] = st.f_mat[t] < 0 ? 0 : st.f_mat[t];
+    // -1 (face before any usemtl) is passed through; the Python side
+    // remaps slots to MTL-declaration order and sends -1 to material 0.
+    mat[t] = st.f_mat[t];
   }
   delete g_state;
   g_state = nullptr;

