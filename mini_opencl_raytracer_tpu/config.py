@@ -61,7 +61,10 @@ class RenderConfig:
     # Number of rays processed per intersection tile on the brute-force
     # (oracle) path; keeps the [rays x tris] intermediates bounded.
     ray_chunk: int = 4096
-    # Intersection backend: "bruteforce" | "bvh" | "pallas".
+    # Intersection backend: "bruteforce" | "bvh" | "pallas" | "mega".
+    # "mega" runs the whole bounce loop fused in one Pallas kernel
+    # (ops/pallas/megakernel.py) for VMEM-resident scenes — the TPU
+    # analog of the reference's one-kernel frame (kernel_bvh.cl:415-456).
     backend: str = "bvh"
     # Rematerialize each bounce in the backward pass (jax.checkpoint on
     # the scan body): trades recompute for activation memory so full-res

@@ -1,0 +1,786 @@
+"""Fused Pallas TPU megakernel: raygen-to-radiance in one kernel.
+
+This is the TPU analog of the reference's single-kernel frame
+(``KernelEntry``, kernel_bvh.cl:415-456): the whole bounce loop —
+intersection, hit-attribute fetch, BRDF sampling, analytic lights,
+throughput update — runs inside ONE ``pallas_call`` with all per-ray
+state resident in VMEM. The round-1 profile (benchmarks/PROFILE.md)
+showed the per-bounce jnp pipeline spending ~70% of the differentiable
+step shuttling [2M,3] intermediates through HBM; here the only HBM
+traffic is the ray inputs, the radiance output and a tiny per-bounce
+hit-index record.
+
+Layout: rays are processed in groups of ``_ROWS`` x 128 (one grid step),
+every per-ray scalar is a full [_ROWS, 128] f32 tile so each VPU
+instruction runs at full width. Vectors are SoA component tuples
+(x, y, z) of such tiles. Intersection is dense Moller-Trumbore over
+[TB, _ROWS, 128] triangle-block panels (the megakernel targets
+VMEM-resident scenes, T <= _MAX_TRIS; larger scenes stay on the
+clustered kernel). Hit attributes are fetched with per-row one-hot MXU
+matmuls against a [C, T] shading table — the TPU-native gather.
+
+Differentiability (custom VJP, SURVEY.md section 7 step 5 pattern):
+
+* forward kernel: hard closest hits; records the winning triangle index
+  per bounce ([bounces, R] int32 — the only residual beyond the inputs);
+* backward kernel: replays the bounce chain as a *pure* function with
+  the recorded indices frozen (one-hot constants), and runs ``jax.vjp``
+  of that function **inside the kernel** — intermediates never touch
+  HBM. Gradients w.r.t. the shading table and lights accumulate across
+  grid steps in VMEM-resident accumulator outputs; gradients w.r.t. the
+  ray origins/directions stream out per block (chaining to the camera
+  through ``generate_rays``).
+
+RNG is the same counter-based lowbias32 hash as ops/rng.py with the
+identical draw-site layout, so the megakernel's radiance matches the
+jnp integrator (ops/integrator.trace_paths) to float tolerance on every
+backend — the basis of the cross-backend allclose tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.scene import Lights, Materials, Geometry, Scene
+
+_LANES = 128
+_ROWS = 8                      # ray rows per grid step (rays = _ROWS*128)
+_TILE = _ROWS * _LANES
+_MAX_TRIS = 2048               # VMEM-resident scene limit for this path
+_TRI_BLOCK = 64                # triangles per [TB, ROWS, 128] M-T panel
+_BIG = 3.0e38
+_DET_EPS = 1e-10
+_TWO_PI = 2.0 * np.pi
+_INV_PI = 1.0 / np.pi
+
+# Shading-table row layout ([C_PAD, T_pad], attribute rows x triangles).
+_V0, _E1, _E2 = 0, 3, 6
+_N0, _N1, _N2 = 9, 12, 15
+_KD, _KS, _KE = 18, 21, 24
+_NS = 27
+_C = 28
+_C_PAD = 32
+# lights vector column layout ([L, 16]).
+_LPOS, _LDIR, _LTYPE, _LINT, _LATT, _LCUT = 0, 3, 6, 7, 8, 9
+_LCOLS = 16
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tri_pad(T: int) -> int:
+    if T <= _TRI_BLOCK:
+        return _ceil_to(max(T, 8), 8)
+    return _ceil_to(T, _TRI_BLOCK)
+
+
+# ---------------------------------------------------------------------------
+# SoA float3 helpers over [_ROWS, 128] tiles (the in-kernel analog of
+# ops/linalg.py; reference float3, CLmathlib.hpp:18-118).
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _mul3(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]),
+            jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _normalize3(a, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(a, a), eps))
+    return _scale3(a, inv)
+
+
+def _reflect3(v, n):
+    """Reference convention (kernel_bvh.cl:74-77): -v + 2 (v.n) n."""
+    s = 2.0 * _dot3(v, n)
+    return (-v[0] + s * n[0], -v[1] + s * n[1], -v[2] + s * n[2])
+
+
+# ---------------------------------------------------------------------------
+# Counter-based RNG (bit-identical to ops/rng.py).
+
+_GOLDEN = np.uint32(0x9E3779B9)
+_M1 = np.uint32(0x7FEB352D)
+_M2 = np.uint32(0x846CA68B)
+
+
+def _mix_u32(x):
+    """lowbias32 mixer; works on panels and traced scalars alike."""
+    x = x ^ (x >> 16)
+    x = x * _M1
+    x = x ^ (x >> 15)
+    x = x * _M2
+    x = x ^ (x >> 16)
+    return x
+
+
+def _uniform(seeds, counter):
+    """[0,1) f32 panel for draw site ``counter`` (python int or traced
+    i32 scalar) — identical sequence to ops/rng.uniform."""
+    if isinstance(counter, (int, np.integer)):
+        m = 0xFFFFFFFF
+        c = int(counter) & m
+        c = c ^ (c >> 16)
+        c = (c * int(_M1)) & m
+        c = c ^ (c >> 15)
+        c = (c * int(_M2)) & m
+        c = c ^ (c >> 16)
+        cm = np.uint32((c + int(_GOLDEN)) & m)
+    else:
+        cm = _mix_u32(counter.astype(jnp.uint32)) + _GOLDEN
+    bits = _mix_u32(seeds ^ cm)
+    # Mosaic has no u32->f32 cast; bits >> 8 < 2^24 fits i32 exactly.
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
+
+
+# raygen consumes sites 0-1 (ops/rng.py RAYGEN_DRAWS); bounce sites follow.
+_RAYGEN_DRAWS = 2
+_DRAWS_PER_BOUNCE = 8
+_SITE_LOBE, _SITE_DIFF_PHI, _SITE_DIFF_R2 = 0, 1, 2
+_SITE_SPEC_PHI, _SITE_SPEC_COS = 3, 4
+
+
+def _bounce_site(bounce, site):
+    if isinstance(bounce, (int, np.integer)):
+        return int(_RAYGEN_DRAWS + bounce * _DRAWS_PER_BOUNCE + site)
+    return (jnp.int32(_RAYGEN_DRAWS) + bounce * jnp.int32(_DRAWS_PER_BOUNCE)
+            + jnp.int32(site))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks (all pure functions of values).
+
+def _mt_closest(pk_ref, o3, d3, t_max: float, backface_cull: bool,
+                T_pad: int):
+    """Dense closest-hit Moller-Trumbore over all triangles.
+
+    ``pk_ref``: [T_pad, 16] VMEM ref (cols 0-2 v0, 3-5 e1, 6-8 e2;
+    padded rows have e1 = e2 = 0 so det == 0 -> never hit). Rays as
+    [_ROWS, 128] component tiles. Returns the winning triangle index
+    [_ROWS, 128] i32 (-1 = miss). Non-differentiable (forward only).
+    """
+    tb = min(T_pad, _TRI_BLOCK)
+    n_blocks = T_pad // tb
+    ox, oy, oz = (c[None] for c in o3)   # [1, ROWS, 128]
+    dx, dy, dz = (c[None] for c in d3)
+    iota3 = jax.lax.broadcasted_iota(
+        jnp.int32, (tb, _ROWS, _LANES), 0).astype(jnp.float32)
+
+    def block_body(b, carry):
+        t_best, i_best = carry           # [ROWS, 128] f32 each
+        blk = pk_ref[pl.ds(b * tb, tb), :]
+
+        def col(k):
+            return blk[:, k:k + 1].reshape(tb, 1, 1)
+
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+
+        # pvec = d x e2 (kernel_bvh.cl:112) — [tb, ROWS, 128] panels.
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if backface_cull:
+            dvalid = det > _DET_EPS
+        else:
+            dvalid = jnp.abs(det) > _DET_EPS
+        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
+
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+        ok = (dvalid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (tt > 0.0) & (tt < t_best[None]))
+        tt = jnp.where(ok, tt, _BIG)
+
+        t_blk = jnp.min(tt, axis=0)                       # [ROWS, 128]
+        win = tt <= t_blk[None]
+        i_blk = jnp.min(jnp.where(win, iota3, _BIG), axis=0)
+        better = t_blk < t_best
+        t_best = jnp.where(better, t_blk, t_best)
+        i_best = jnp.where(better, i_blk + jnp.float32(b * tb), i_best)
+        return t_best, i_best
+
+    t0 = jnp.full((_ROWS, _LANES), min(t_max, _BIG), jnp.float32)
+    i0 = jnp.full((_ROWS, _LANES), -1.0, jnp.float32)
+    if n_blocks == 1:
+        t_best, i_best = block_body(0, (t0, i0))
+    else:
+        t_best, i_best = jax.lax.fori_loop(0, n_blocks, block_body, (t0, i0))
+    return i_best.astype(jnp.int32)
+
+
+class _Attrs(NamedTuple):
+    """Winning-triangle attributes as [_ROWS, 128] component tiles."""
+
+    v0: tuple
+    e1: tuple
+    e2: tuple
+    n0: tuple
+    n1: tuple
+    n2: tuple
+    kd: tuple
+    ks: tuple
+    ke: tuple
+    ns: jax.Array
+
+
+def _gather_attrs(tableT, i_best) -> _Attrs:
+    """One-hot MXU gather of the winning triangle's table column.
+
+    Per ray row r: onehot [T, 128] = (iota == idx_r); attrs_r =
+    tableT @ onehot -> [C_PAD, 128]; rows stacked into [C_PAD, ROWS, 128]
+    so each attribute is a clean [ROWS, 128] tile. Misses (idx == -1)
+    produce all-zero columns. Differentiable w.r.t. ``tableT`` (the
+    transpose is a scatter-add matmul, also on the MXU).
+    """
+    T_pad = tableT.shape[1]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
+    per_row = []
+    for r in range(_ROWS):
+        onehot = (iota2 == i_best[r:r + 1, :]).astype(tableT.dtype)
+        per_row.append(jax.lax.dot(tableT, onehot,
+                                   precision=jax.lax.Precision.HIGHEST))
+    stacked = jnp.stack(per_row, axis=1)          # [C_PAD, ROWS, 128]
+
+    def c3(off):
+        return (stacked[off], stacked[off + 1], stacked[off + 2])
+
+    return _Attrs(v0=c3(_V0), e1=c3(_E1), e2=c3(_E2),
+                  n0=c3(_N0), n1=c3(_N1), n2=c3(_N2),
+                  kd=c3(_KD), ks=c3(_KS), ke=c3(_KE),
+                  ns=stacked[_NS])
+
+
+def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
+    """Differentiable (t, u, v) recompute on the winning triangle and the
+    interpolated shading point — exactly ops/shading.hit_attributes
+    (kernel_bvh.cl:144-147)."""
+    pvec = _cross3(d3, at.e2)
+    det = _dot3(at.e1, pvec)
+    if backface_cull:
+        dvalid = det > _DET_EPS
+    else:
+        dvalid = jnp.abs(det) > _DET_EPS
+    inv_det = jnp.where(dvalid, 1.0 / jnp.where(dvalid, det, 1.0), 0.0)
+    tvec = _sub3(o3, at.v0)
+    u = _dot3(tvec, pvec) * inv_det
+    qvec = _cross3(tvec, at.e1)
+    v = _dot3(d3, qvec) * inv_det
+    t = _dot3(at.e2, qvec) * inv_det
+    valid = dvalid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    t = jnp.where(valid, t, _BIG)
+
+    t = jnp.where(hit, t, 0.0)
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
+    w = 1.0 - u - v
+    pos = _add3(o3, _scale3(d3, t))
+    normal = _normalize3((
+        u * at.n1[0] + v * at.n2[0] + w * at.n0[0],
+        u * at.n1[1] + v * at.n2[1] + w * at.n0[1],
+        u * at.n1[2] + v * at.n2[2] + w * at.n0[2],
+    ))
+    return pos, normal
+
+
+def _build_onb(n):
+    """SampleHemisphereCosine's frame (kernel_bvh.cl:85-87), SoA."""
+    use_y = jnp.abs(n[0]) > 1e-3
+    ax = jnp.where(use_y, 0.0, 1.0)
+    ay = jnp.where(use_y, 1.0, 0.0)
+    axis = (ax, ay, jnp.zeros_like(ax))
+    t = _normalize3(_cross3(axis, n))
+    s = _cross3(n, t)
+    return s, t
+
+
+def _spherical_dir(s, t, n, phi, sin_theta, cos_theta):
+    cp, sp = jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta
+    return _normalize3((
+        s[0] * cp + t[0] * sp + n[0] * cos_theta,
+        s[1] * cp + t[1] * sp + n[1] * cos_theta,
+        s[2] * cp + t[2] * sp + n[2] * cos_theta,
+    ))
+
+
+def _sample_brdf(wo, normal, kd, ks, ns, seeds, bounce, specular_prob):
+    """ops/brdf.sample_brdf (kernel_bvh.cl:221-302), SoA in-kernel."""
+    u_lobe = _uniform(seeds, _bounce_site(bounce, _SITE_LOBE))
+    du1 = _uniform(seeds, _bounce_site(bounce, _SITE_DIFF_PHI))
+    du2 = _uniform(seeds, _bounce_site(bounce, _SITE_DIFF_R2))
+    su1 = _uniform(seeds, _bounce_site(bounce, _SITE_SPEC_PHI))
+    su2 = _uniform(seeds, _bounce_site(bounce, _SITE_SPEC_COS))
+    pick_spec = u_lobe > (1.0 - specular_prob)
+
+    s, t = _build_onb(normal)
+
+    # Diffuse lobe (SampleDiffuse, kernel_bvh.cl:264-269).
+    d_phi = _TWO_PI * du1
+    d_sin = jnp.sqrt(du2)
+    d_cos = jnp.sqrt(jnp.maximum(1.0 - du2, 0.0))
+    d_wi = _spherical_dir(s, t, normal, d_phi, d_sin, d_cos)
+    d_pdf = _dot3(d_wi, normal) * _INV_PI
+    d_f = _scale3(kd, jnp.float32(_INV_PI))
+    d_valid = d_pdf > 0.0
+
+    # Blinn specular lobe (SampleSpecular/SampleGGX, kernel_bvh.cl:227-292,
+    # spec-cleaned per ops/brdf.py).
+    alpha = jnp.maximum(ns, 0.0)
+    s_phi = _TWO_PI * su1
+    u2c = jnp.clip(su2, 1e-12, 1.0)
+    cos_h = jnp.exp(jnp.log(u2c) / (alpha + 1.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
+    s_wi = _reflect3(wo, wh)
+    cos_i = _dot3(s_wi, normal)
+    cos_o = _dot3(wo, normal)
+    same_hemi = (cos_i * cos_o) >= 1e-6
+    cosn = jnp.power(cos_h, alpha)
+    d_ndf = (alpha + 2.0) * jnp.float32(0.5 * _INV_PI) * cosn
+    pdf_h = (alpha + 1.0) * jnp.float32(0.5 * _INV_PI) * cosn
+    wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
+    s_pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
+    # Smith G with the reference's k mapping (kernel_bvh.cl:241-257).
+    r = jnp.sqrt(2.0 / (alpha + 2.0)) + 1.0
+    k = (r * r) / 8.0
+    ndotv = jnp.maximum(cos_o, 0.0)
+    ndotl = jnp.maximum(cos_i, 0.0)
+    g = (ndotv / (ndotv * (1.0 - k) + k)) * (ndotl / (ndotl * (1.0 - k) + k))
+    fr = 0.04 + 0.96 * jnp.power(jnp.maximum(1.0 - wo_dot_wh, 0.0), 5.0)
+    denom = 4.0 * ndotl * ndotv + 1e-3
+    s_scale = d_ndf * g * fr / denom
+    s_valid = same_hemi & (s_pdf > 0.0) & (wo_dot_wh > 0.0)
+    s_scale = jnp.where(s_valid, s_scale, 0.0)
+    s_f = _scale3(ks, s_scale)
+
+    wi = _where3(pick_spec, s_wi, d_wi)
+    f = _where3(pick_spec, s_f, d_f)
+    pdf = jnp.where(pick_spec, s_pdf, d_pdf)
+    # Mosaic cannot select_n between i1 vectors; use logical ops.
+    valid = (pick_spec & s_valid) | (~pick_spec & d_valid)
+    return wi, f, pdf, valid
+
+
+def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
+                  direct_specular: bool):
+    """ops/lights.direct_light (lightPixel, kernel_bvh.cl:304-347), SoA.
+    ``lv``: [L, 16] lights value (see _L* column layout). No shadow rays
+    on this path (megakernel v1 eligibility excludes cfg.shadow_rays)."""
+    zero = jnp.zeros_like(pos[0])
+    diff_total, spec_total = zero, zero
+    for li in range(num_lights):
+        lpx, lpy, lpz = lv[li, _LPOS], lv[li, _LPOS + 1], lv[li, _LPOS + 2]
+        ldx, ldy, ldz = lv[li, _LDIR], lv[li, _LDIR + 1], lv[li, _LDIR + 2]
+        ltype = lv[li, _LTYPE]
+        intensity = lv[li, _LINT]
+        falloff = lv[li, _LATT]
+        cos_cut = lv[li, _LCUT]
+
+        dn = jax.lax.rsqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
+                                       1e-20))
+        ldx, ldy, ldz = ldx * dn, ldy * dn, ldz * dn
+
+        to_l = (lpx - pos[0], lpy - pos[1], lpz - pos[2])
+        dist = jnp.sqrt(jnp.maximum(_dot3(to_l, to_l), 1e-12))
+        inv_dist = 1.0 / dist
+        l_point = _scale3(to_l, inv_dist)
+        is_dir = ltype <= 0.5          # LIGHT_DIRECTIONAL == 0
+        l_unit = _where3(is_dir, (-ldx + zero, -ldy + zero, -ldz + zero),
+                         l_point)
+        ndotl = jnp.maximum(_dot3(normal, l_unit), 0.0)
+
+        attn_point = 1.0 / jnp.maximum(falloff * dist * dist, 1e-6)
+        attn = jnp.where(is_dir, jnp.ones_like(attn_point), attn_point)
+
+        cos_angle = _dot3(_neg3(l_unit), (ldx + zero, ldy + zero, ldz + zero))
+        spot_w = jnp.clip((cos_angle - cos_cut)
+                          / jnp.maximum(1.0 - cos_cut, 1e-6), 0.0, 1.0)
+        attn = jnp.where(ltype >= 1.5, attn * spot_w, attn)
+
+        diff_total = diff_total + attn * intensity * ndotl
+
+        if direct_specular:
+            h = _normalize3(_add3(l_unit, wo))
+            ndoth = jnp.maximum(_dot3(normal, h), 0.0)
+            spec = jnp.power(jnp.maximum(ndoth, 1e-6),
+                             jnp.maximum(ns, 1.0))
+            spec = jnp.where(ndotl > 0.0, spec, 0.0)
+            spec_total = spec_total + attn * intensity * spec
+    return diff_total, spec_total
+
+
+def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
+                  bounce, lv, num_lights: int, cfg: RenderConfig):
+    """One bounce of the reference recurrence (Render, kernel_bvh.cl:
+    349-384) on [_ROWS, 128] tiles — the exact per-bounce math of
+    ops/integrator.trace_paths.bounce_step."""
+    hit = i_best >= 0
+    sky = tuple(jnp.float32(c * cfg.skybox_intensity) for c in cfg.sky_color)
+
+    pos, normal = _winner_point(at, o3, d3, hit, cfg.backface_cull)
+
+    miss = alive & ~hit
+    rad3 = _add3(rad3, _where3(miss,
+                               (beta3[0] * sky[0], beta3[1] * sky[1],
+                                beta3[2] * sky[2]),
+                               (jnp.zeros_like(rad3[0]),) * 3))
+
+    live = alive & hit
+    es = jnp.float32(cfg.emission_scale)
+    rad3 = _add3(rad3, _where3(live, _mul3(beta3, _scale3(at.ke, es)),
+                               (jnp.zeros_like(rad3[0]),) * 3))
+
+    wo = _neg3(d3)
+    wi, f, pdf, valid = _sample_brdf(wo, normal, at.kd, at.ks, at.ns,
+                                     seeds, bounce, cfg.specular_prob)
+    cos_i = _dot3(wi, normal)
+    pdf_safe = jnp.where(pdf > 0.0, pdf, 1.0)
+    scale = cos_i / pdf_safe
+    mul = _scale3(f, scale)
+    ok = (valid & (pdf > 0.0)
+          & jnp.isfinite(mul[0]) & jnp.isfinite(mul[1])
+          & jnp.isfinite(mul[2]))
+    lo = live & ok
+    beta_new = _where3(lo, _mul3(beta3, mul), beta3)
+
+    dl_diff, dl_spec = _direct_light(lv, num_lights, pos, normal, wo,
+                                     at.ns, cfg.direct_specular)
+    direct = _scale3(at.kd, dl_diff)
+    if cfg.direct_specular:
+        direct = _add3(direct, _scale3(at.ks, dl_spec))
+    rad3 = _add3(rad3, _where3(lo, _mul3(direct, beta_new),
+                               (jnp.zeros_like(rad3[0]),) * 3))
+
+    alive_next = lo
+    eps = jnp.float32(cfg.ray_epsilon)
+    o_next = _where3(alive_next, _add3(pos, _scale3(wi, eps)), o3)
+    d_next = _where3(alive_next, wi, d3)
+    return o_next, d_next, beta_new, rad3, alive_next
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel.
+
+def _forward_kernel(tab_ref, pk_ref, lv_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    seed_ref,
+                    rx_ref, ry_ref, rz_ref, idx_ref,
+                    *, cfg: RenderConfig, num_lights: int, T_pad: int):
+    tableT = tab_ref[:]
+    lv = lv_ref[:]
+    seeds = seed_ref[:]
+    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+    ones = jnp.ones((_ROWS, _LANES), jnp.float32)
+    zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
+
+    # Statically unrolled bounce loop: an scf.for here sends the Mosaic
+    # compiler into a tailspin (bounces=2 compiles for >8 min; unrolled
+    # bounces=9 compiles in well under a minute), and unrolling also
+    # lets every bounce's RNG counters fold to constants.
+    carry = (o3, d3, (ones, ones, ones), (zeros, zeros, zeros),
+             jnp.ones((_ROWS, _LANES), bool))
+    for b in range(cfg.bounces):
+        o3c, d3c, beta3, rad3, alive = carry
+        i_best = _mt_closest(pk_ref, o3c, d3c, cfg.t_max, cfg.backface_cull,
+                             T_pad)
+        idx_ref[b] = i_best
+        at = _gather_attrs(tableT, i_best)
+        carry = _shade_bounce(at, i_best, o3c, d3c, beta3, rad3, alive,
+                              seeds, b, lv, num_lights, cfg)
+    rad3 = carry[3]
+    # Final clamp (kernel_bvh.cl:383).
+    rx_ref[:] = jnp.maximum(rad3[0], 0.0)
+    ry_ref[:] = jnp.maximum(rad3[1], 0.0)
+    rz_ref[:] = jnp.maximum(rad3[2], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: replay with recorded indices + in-kernel jax.vjp.
+
+def _backward_kernel(tab_ref, lv_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     seed_ref, idx_ref, gx_ref, gy_ref, gz_ref,
+                     dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
+                     dtab_ref, dlv_ref,
+                     *, cfg: RenderConfig, num_lights: int):
+    tableT = tab_ref[:]
+    lv = lv_ref[:]
+    seeds = seed_ref[:]
+    idxs = idx_ref[:]                     # [bounces, ROWS, 128]
+    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+
+    def replay(tabv, lvv, o3v, d3v):
+        ones = jnp.ones((_ROWS, _LANES), jnp.float32)
+        zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
+        carry = (o3v, d3v, (ones, ones, ones), (zeros, zeros, zeros),
+                 jnp.ones((_ROWS, _LANES), bool))
+        for b in range(cfg.bounces):
+            o3c, d3c, beta3, rad3, alive = carry
+            i_best = idxs[b]              # frozen hit record (constant)
+            at = _gather_attrs(tabv, i_best)
+            carry = _shade_bounce(at, i_best, o3c, d3c, beta3, rad3,
+                                  alive, seeds, b, lvv, num_lights, cfg)
+        rad3 = carry[3]
+        return (jnp.maximum(rad3[0], 0.0), jnp.maximum(rad3[1], 0.0),
+                jnp.maximum(rad3[2], 0.0))
+
+    _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3)
+    d_tab, d_lv, d_o3, d_d3 = vjp_fn((gx_ref[:], gy_ref[:], gz_ref[:]))
+
+    dox_ref[:], doy_ref[:], doz_ref[:] = d_o3
+    ddx_ref[:], ddy_ref[:], ddz_ref[:] = d_d3
+
+    # Accumulate table/light grads across sequential grid steps.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:] = jnp.zeros_like(dtab_ref)
+        dlv_ref[:] = jnp.zeros_like(dlv_ref)
+
+    dtab_ref[:] += d_tab
+    dlv_ref[:] += d_lv
+
+
+# ---------------------------------------------------------------------------
+# Host-side wiring.
+
+def _to_panels(a: jax.Array, R: int, fill: float = 0.0) -> jax.Array:
+    pad = (-R) % _TILE
+    a = jnp.pad(a, (0, pad), constant_values=fill)
+    return a.reshape((R + pad) // _LANES, _LANES)
+
+
+def _ray_specs(n: int):
+    return [pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)] * n
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _mega_forward(tableT, lv, o, d, seeds, cfg: RenderConfig):
+    R = o.shape[0]
+    T_pad = tableT.shape[1]
+    num_lights = lv.shape[0]
+    # Non-differentiable M-T layout, derived from the table (v0/e1/e2
+    # rows transposed into [T_pad, 16] sublane columns).
+    packed = jnp.zeros((T_pad, 16), jnp.float32)
+    packed = packed.at[:, :9].set(
+        jax.lax.stop_gradient(tableT[:9]).T)
+
+    comps = [_to_panels(o[:, 0], R), _to_panels(o[:, 1], R),
+             _to_panels(o[:, 2], R),
+             _to_panels(d[:, 0], R), _to_panels(d[:, 1], R),
+             _to_panels(d[:, 2], R, fill=1.0),
+             _to_panels(seeds.astype(jnp.uint32), R)]
+    n_rows = comps[0].shape[0]
+    grid = (n_rows // _ROWS,)
+
+    kernel = functools.partial(_forward_kernel, cfg=cfg,
+                               num_lights=num_lights, T_pad=T_pad)
+    rx, ry, rz, idx_rec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([_const_spec((_C_PAD, T_pad)),
+                   _const_spec((T_pad, 16)),
+                   _const_spec((num_lights, _LCOLS))]
+                  + _ray_specs(7)),
+        out_specs=(*_ray_specs(3),
+                   pl.BlockSpec((cfg.bounces, _ROWS, _LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.bounces, n_rows, _LANES), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(tableT, packed, lv, *comps)
+    radiance = jnp.stack([rx.reshape(-1)[:R], ry.reshape(-1)[:R],
+                          rz.reshape(-1)[:R]], axis=-1)
+    return radiance, idx_rec
+
+
+def _mega_backward(tableT, lv, o, d, seeds, idx_rec, g, cfg: RenderConfig):
+    R = o.shape[0]
+    T_pad = tableT.shape[1]
+    num_lights = lv.shape[0]
+    comps = [_to_panels(o[:, 0], R), _to_panels(o[:, 1], R),
+             _to_panels(o[:, 2], R),
+             _to_panels(d[:, 0], R), _to_panels(d[:, 1], R),
+             _to_panels(d[:, 2], R, fill=1.0),
+             _to_panels(seeds.astype(jnp.uint32), R),
+             ]
+    gcomps = [_to_panels(g[:, 0], R), _to_panels(g[:, 1], R),
+              _to_panels(g[:, 2], R)]
+    n_rows = comps[0].shape[0]
+    grid = (n_rows // _ROWS,)
+
+    kernel = functools.partial(_backward_kernel, cfg=cfg,
+                               num_lights=num_lights)
+    idx_spec = pl.BlockSpec((cfg.bounces, _ROWS, _LANES),
+                            lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=([_const_spec((_C_PAD, T_pad)),
+                   _const_spec((num_lights, _LCOLS))]
+                  + _ray_specs(7) + [idx_spec] + _ray_specs(3)),
+        out_specs=(*_ray_specs(6),
+                   _const_spec((_C_PAD, T_pad)),
+                   _const_spec((num_lights, _LCOLS))),
+        out_shape=(
+            *(jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
+              for _ in range(6)),
+            jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(tableT, lv, *comps, idx_rec, *gcomps)
+    dox, doy, doz, ddx, ddy, ddz, d_tab, d_lv = outs
+
+    def unpanel(p):
+        return p.reshape(-1)[:R]
+
+    d_o = jnp.stack([unpanel(dox), unpanel(doy), unpanel(doz)], axis=-1)
+    d_d = jnp.stack([unpanel(ddx), unpanel(ddy), unpanel(ddz)], axis=-1)
+    return d_tab, d_lv, d_o, d_d
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _mega_trace(tableT, lv, o, d, seeds, cfg: RenderConfig):
+    rad, _ = _mega_forward(tableT, lv, o, d, seeds, cfg)
+    return rad
+
+
+def _mega_trace_fwd(tableT, lv, o, d, seeds, cfg):
+    rad, idx_rec = _mega_forward(tableT, lv, o, d, seeds, cfg)
+    return rad, (tableT, lv, o, d, seeds, idx_rec)
+
+
+def _mega_trace_bwd(cfg, res, g):
+    tableT, lv, o, d, seeds, idx_rec = res
+    d_tab, d_lv, d_o, d_d = _mega_backward(tableT, lv, o, d, seeds,
+                                           idx_rec, g, cfg)
+    d_seeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return d_tab, d_lv, d_o, d_d, d_seeds
+
+
+_mega_trace.defvjp(_mega_trace_fwd, _mega_trace_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API.
+
+def build_mega_table(geometry: Geometry, materials: Materials) -> jax.Array:
+    """[C_PAD, T_pad] differentiable shading table (rows per _V0.._NS).
+
+    The megakernel analog of the device-resident scene buffers
+    (CLBVHScene::SetupBuffers, CLBVHnode.cpp:209-236): geometry corners
+    as (v0, e1, e2), per-corner normals, and the triangle's material —
+    gradients flow back to vertices and to the [M]-row material arrays
+    through the per-triangle take.
+    """
+    g, m = geometry, materials
+    T = g.num_triangles
+    T_pad = _tri_pad(T)
+    mi = g.mat_idx
+    rows = jnp.concatenate([
+        g.v0.T, (g.v1 - g.v0).T, (g.v2 - g.v0).T,
+        g.n0.T, g.n1.T, g.n2.T,
+        jnp.take(m.diffuse, mi, axis=0).T,
+        jnp.take(m.specular, mi, axis=0).T,
+        jnp.take(m.emission, mi, axis=0).T,
+        jnp.take(m.roughness, mi, axis=0)[None, :],
+    ], axis=0).astype(jnp.float32)
+    return jnp.pad(rows, ((0, _C_PAD - _C), (0, T_pad - T)))
+
+
+def pack_lights(lights: Lights) -> jax.Array:
+    """[L, 16] differentiable lights vector (see _L* column layout)."""
+    cols = [lights.position, lights.direction,
+            lights.light_type.astype(jnp.float32)[:, None],
+            lights.intensity[:, None], lights.attenuation[:, None],
+            lights.cos_cutoff[:, None]]
+    lv = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+    return jnp.pad(lv, ((0, 0), (0, _LCOLS - lv.shape[1])))
+
+
+def eligible(scene: Scene, cfg: RenderConfig) -> bool:
+    """The megakernel serves VMEM-resident scenes without shadow rays;
+    everything else falls back to the wavefront pipeline."""
+    return (scene.num_triangles <= _MAX_TRIS
+            and not cfg.shadow_rays
+            and cfg.jnp_dtype() == jnp.float32)
+
+
+def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
+                     directions: jax.Array, seeds: jax.Array) -> jax.Array:
+    """Drop-in replacement for ops/integrator.trace_paths running the
+    whole bounce loop fused in one Pallas kernel. Returns radiance [R, 3].
+    """
+    if not eligible(scene, cfg):
+        raise ValueError(
+            "megakernel backend requires <= %d triangles, float32, and "
+            "shadow_rays=False (got T=%d, shadow_rays=%s, dtype=%s)"
+            % (_MAX_TRIS, scene.num_triangles, cfg.shadow_rays, cfg.dtype))
+    tableT = build_mega_table(scene.geometry, scene.materials)
+    lv = pack_lights(scene.lights)
+    o = origins.astype(jnp.float32)
+    d = directions.astype(jnp.float32)
+    return _mega_trace(tableT, lv, o, d, seeds, cfg)

@@ -36,6 +36,7 @@ from .ops.integrator import trace_paths
 from .ops.intersect import intersect_brute, occluded_brute
 from .ops import bvh as bvh_mod
 from .ops.pallas import intersect as pallas_mod
+from .ops.pallas import megakernel as mega_mod
 
 
 def make_intersectors(scene: Scene, cfg: RenderConfig,
@@ -142,7 +143,10 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
     (see _swizzled_ids) — per-pixel values are identical either way, only
     the wavefront layout changes.
     """
-    closest, any_hit = make_intersectors(scene, cfg, bvh=bvh, accel=accel)
+    if cfg.backend == "mega":
+        closest = any_hit = None
+    else:
+        closest, any_hit = make_intersectors(scene, cfg, bvh=bvh, accel=accel)
     R = cfg.num_pixels
     pixel_ids = _swizzled_ids(cfg)
     swizzled = pixel_ids is not None
@@ -154,7 +158,10 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
                                 jnp.uint32(frame) * jnp.uint32(cfg.spp)
                                 + jnp.uint32(s))
         o, d = generate_rays(camera, cfg, pixel_ids, seeds)
-        radiance = trace_paths(scene, cfg, o, d, seeds, closest, any_hit)
+        if cfg.backend == "mega":
+            radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds)
+        else:
+            radiance = trace_paths(scene, cfg, o, d, seeds, closest, any_hit)
         return acc + radiance
 
     total = jax.lax.fori_loop(

@@ -25,6 +25,17 @@ import pytest
 
 import jax
 
+# The env mutation above can be too late: the TPU sitecustomize hook
+# imports jax internals at interpreter start, which snapshots
+# JAX_PLATFORMS before conftest runs. jax.config.update works
+# post-import and is authoritative — without it tests silently compile
+# Pallas kernels for the real TPU instead of interpret-on-CPU.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend (got %r)" % jax.default_backend())
+assert jax.device_count() >= 8, (
+    "tests need 8 virtual CPU devices for the sharding suite")
+
 # Persistent compilation cache: first-compile latency dominates test time
 # otherwise (minutes per graph).
 jax.config.update("jax_compilation_cache_dir",

@@ -1,0 +1,147 @@
+"""Megakernel (fused single-Pallas-kernel path) tests.
+
+The megakernel must reproduce the jnp wavefront integrator exactly:
+same RNG draw sites, same per-bounce recurrence (kernel_bvh.cl:349-384),
+same accumulation — so forward radiance and every gradient matches the
+brute-force oracle path to float32 tolerance. Runs in interpret mode on
+CPU (tests/conftest.py forces JAX_PLATFORMS=cpu).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mini_opencl_raytracer_tpu as mrt
+from mini_opencl_raytracer_tpu import grad as gradlib
+from mini_opencl_raytracer_tpu.models.scene import Camera, Lights
+from mini_opencl_raytracer_tpu.ops import rng
+from mini_opencl_raytracer_tpu.ops.camera import generate_rays
+from mini_opencl_raytracer_tpu.ops.pallas import megakernel as mk
+from mini_opencl_raytracer_tpu.render import render_sample
+
+CAM = Camera.default()
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return mrt.cornell_scene()
+
+
+def _cfg(backend, **kw):
+    kw.setdefault("width", 32)
+    kw.setdefault("height", 32)
+    kw.setdefault("bounces", 3)
+    return mrt.RenderConfig(backend=backend, **kw)
+
+
+def test_forward_matches_bruteforce(cornell):
+    """Full multi-bounce radiance must match the oracle path closely
+    (identical math + RNG; differences are op-ordering float noise)."""
+    img_b = np.asarray(render_sample(cornell, CAM, _cfg("bruteforce")))
+    img_m = np.asarray(render_sample(cornell, CAM, _cfg("mega")))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+
+
+def test_forward_nonsquare_padding(cornell):
+    """Ray counts that don't fill the last [ROWS,128] tile pad correctly."""
+    cfg_b = _cfg("bruteforce", width=40, height=30, bounces=2)
+    cfg_m = _cfg("mega", width=40, height=30, bounces=2)
+    img_b = np.asarray(render_sample(cornell, CAM, cfg_b))
+    img_m = np.asarray(render_sample(cornell, CAM, cfg_m))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+
+
+def test_forward_directional_and_multi_light(cornell):
+    """Light-type select and the multi-light sum must match."""
+    two = Lights(
+        position=jnp.array([[0.0, -10.0, 16.0], [5.0, -5.0, 10.0]]),
+        direction=jnp.array([[-0.5, 0.4, -0.1], [0.0, 0.3, -1.0]]),
+        light_type=jnp.array([0, 1], jnp.int32),
+        intensity=jnp.array([1.0, 8.0]),
+        attenuation=jnp.array([0.8, 0.5]),
+        cos_cutoff=jnp.array([0.9, 0.9]),
+    )
+    scene = cornell.replace(lights=two)
+    img_b = np.asarray(render_sample(scene, CAM, _cfg("bruteforce", bounces=2)))
+    img_m = np.asarray(render_sample(scene, CAM, _cfg("mega", bounces=2)))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+
+
+def test_eligibility_gate(cornell):
+    assert mk.eligible(cornell, _cfg("mega"))
+    assert not mk.eligible(cornell, _cfg("mega", shadow_rays=True))
+    with pytest.raises(ValueError):
+        cfg = _cfg("mega", shadow_rays=True)
+        o = jnp.zeros((4, 3))
+        mk.trace_paths_mega(cornell, cfg, o, o, jnp.zeros((4,), jnp.uint32))
+
+
+def test_scene_grads_match_bruteforce(cornell):
+    """Custom-VJP gradients (in-kernel replay) vs the autodiff oracle
+    path, for every float leaf of the scene pytree."""
+    cfg_b = _cfg("bruteforce", width=16, height=16, bounces=1)
+    cfg_m = _cfg("mega", width=16, height=16, bounces=1)
+    loss = lambda img: jnp.mean(img)
+    g_b = gradlib.scene_grad(cornell, CAM, cfg_b, loss)
+    g_m = gradlib.scene_grad(cornell, CAM, cfg_m, loss)
+    for a, b in zip(jax.tree_util.tree_leaves(g_b),
+                    jax.tree_util.tree_leaves(g_m)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
+
+
+def test_camera_grads_match_bruteforce(cornell):
+    """d loss / d camera chains through generate_rays via the megakernel's
+    d_origin / d_direction outputs."""
+    cfg_b = _cfg("bruteforce", width=16, height=16, bounces=1)
+    cfg_m = _cfg("mega", width=16, height=16, bounces=1)
+    loss = lambda img: jnp.mean(img)
+    g_b = gradlib.camera_grad(cornell, CAM, cfg_b, loss)
+    g_m = gradlib.camera_grad(cornell, CAM, cfg_m, loss)
+    for a, b in zip(jax.tree_util.tree_leaves(g_b),
+                    jax.tree_util.tree_leaves(g_m)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
+
+
+def test_multibounce_kd_grad_fd(cornell):
+    """FD validation of a multi-bounce megakernel gradient (the oracle
+    backward at bounces >= 2 is impractically slow on CPU, so validate
+    against finite differences of the mega forward itself)."""
+    cfg = _cfg("mega", width=16, height=16, bounces=2)
+    R = cfg.num_pixels
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    seeds = rng.pixel_seeds(pix, jnp.uint32(0))
+    o, d = generate_rays(CAM, cfg, pix, seeds)
+    base = cornell.materials.diffuse
+
+    def f(val):
+        mats = cornell.materials.replace(diffuse=base.at[0, 0].set(val))
+        scene = cornell.replace(materials=mats)
+        return jnp.sum(mk.trace_paths_mega(scene, cfg, o, d, seeds))
+
+    v0 = base[0, 0]
+    ad = jax.grad(f)(v0)
+    eps = 1e-2
+    fd = (f(v0 + eps) - f(v0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(ad), np.asarray(fd),
+                               rtol=5e-2, atol=1e-3)
+
+
+def test_mega_rng_matches_reference_sites():
+    """The in-kernel counter hash must equal ops/rng.uniform bit-for-bit
+    (static and traced counters)."""
+    seeds = jnp.arange(256, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    for bounce in (0, 3):
+        for site in (0, 4):
+            counter = int(rng.bounce_site(bounce, site))
+            ref = rng.uniform(seeds, counter)
+            got_static = mk._uniform(seeds, counter)
+            got_traced = mk._uniform(seeds, jnp.int32(counter))
+            np.testing.assert_array_equal(np.asarray(ref),
+                                          np.asarray(got_static))
+            np.testing.assert_array_equal(np.asarray(ref),
+                                          np.asarray(got_traced))
