@@ -1,35 +1,43 @@
-"""Fused Pallas TPU megakernel: raygen-to-radiance in one kernel.
+"""Fused Pallas TPU bounce megakernel: one kernel per bounce, the whole
+bounce fused (intersect + gather + BRDF + lights + throughput update).
 
 This is the TPU analog of the reference's single-kernel frame
-(``KernelEntry``, kernel_bvh.cl:415-456): the whole bounce loop —
-intersection, hit-attribute fetch, BRDF sampling, analytic lights,
-throughput update — runs inside ONE ``pallas_call`` with all per-ray
-state resident in VMEM. The round-1 profile (benchmarks/PROFILE.md)
-showed the per-bounce jnp pipeline spending ~70% of the differentiable
-step shuttling [2M,3] intermediates through HBM; here the only HBM
-traffic is the ray inputs, the radiance output and a tiny per-bounce
-hit-index record.
+(``KernelEntry``, kernel_bvh.cl:415-456). The round-1 profile
+(benchmarks/PROFILE.md) showed the per-bounce jnp pipeline spending ~70%
+of the differentiable step shuttling dozens of [2M,3] intermediates
+through HBM; here each bounce is ONE ``pallas_call`` whose only HBM
+traffic is the compact ray state (o, d, beta, alive — 10 floats/ray),
+the per-bounce radiance contribution and a hit-index record.
+
+Why per-bounce rather than all bounces in one kernel: Mosaic compile
+time explodes superlinearly when the gathered-attribute dataflow chains
+across unrolled bounces inside one kernel (2 fused bounces already
+compile for >8 minutes; one bounce compiles in ~15 s). The bounce chain
+is therefore composed at the host level, which also means ONE compiled
+kernel serves every bounce: the per-bounce RNG counters enter as data
+(pre-mixed constants), not as baked kernel constants.
 
 Layout: rays are processed in groups of ``_ROWS`` x 128 (one grid step),
 every per-ray scalar is a full [_ROWS, 128] f32 tile so each VPU
 instruction runs at full width. Vectors are SoA component tuples
-(x, y, z) of such tiles. Intersection is dense Moller-Trumbore over
+(x, y, z) of such tiles; between kernels the state rides in stacked
+[3, R/128, 128] panel arrays. Intersection is dense Moller-Trumbore over
 [TB, _ROWS, 128] triangle-block panels (the megakernel targets
 VMEM-resident scenes, T <= _MAX_TRIS; larger scenes stay on the
 clustered kernel). Hit attributes are fetched with per-row one-hot MXU
 matmuls against a [C, T] shading table — the TPU-native gather.
 
-Differentiability (custom VJP, SURVEY.md section 7 step 5 pattern):
+Differentiability (custom VJP per bounce, SURVEY.md section 7 step 5):
 
 * forward kernel: hard closest hits; records the winning triangle index
-  per bounce ([bounces, R] int32 — the only residual beyond the inputs);
-* backward kernel: replays the bounce chain as a *pure* function with
-  the recorded indices frozen (one-hot constants), and runs ``jax.vjp``
-  of that function **inside the kernel** — intermediates never touch
-  HBM. Gradients w.r.t. the shading table and lights accumulate across
-  grid steps in VMEM-resident accumulator outputs; gradients w.r.t. the
-  ray origins/directions stream out per block (chaining to the camera
-  through ``generate_rays``).
+  ([R] int32 — the only residual beyond the bounce inputs);
+* backward kernel: replays the bounce as a *pure* function with the
+  recorded indices frozen (one-hot constants) and runs ``jax.vjp`` of
+  that function **inside the kernel** — per-bounce intermediates never
+  touch HBM. Gradients w.r.t. the shading table and lights accumulate
+  across grid steps in VMEM-resident accumulator outputs; gradients
+  w.r.t. the ray state stream out per block. JAX's autodiff chains the
+  per-bounce VJPs in reverse order automatically.
 
 RNG is the same counter-based lowbias32 hash as ops/rng.py with the
 identical draw-site layout, so the megakernel's radiance matches the
@@ -160,14 +168,7 @@ def _uniform(seeds, counter):
     """[0,1) f32 panel for draw site ``counter`` (python int or traced
     i32 scalar) — identical sequence to ops/rng.uniform."""
     if isinstance(counter, (int, np.integer)):
-        m = 0xFFFFFFFF
-        c = int(counter) & m
-        c = c ^ (c >> 16)
-        c = (c * int(_M1)) & m
-        c = c ^ (c >> 15)
-        c = (c * int(_M2)) & m
-        c = c ^ (c >> 16)
-        cm = np.uint32((c + int(_GOLDEN)) & m)
+        cm = np.uint32(_premixed_counter(counter))
     else:
         cm = _mix_u32(counter.astype(jnp.uint32)) + _GOLDEN
     bits = _mix_u32(seeds ^ cm)
@@ -181,13 +182,42 @@ _RAYGEN_DRAWS = 2
 _DRAWS_PER_BOUNCE = 8
 _SITE_LOBE, _SITE_DIFF_PHI, _SITE_DIFF_R2 = 0, 1, 2
 _SITE_SPEC_PHI, _SITE_SPEC_COS = 3, 4
+_NUM_SITES = 5
 
 
 def _bounce_site(bounce, site):
-    if isinstance(bounce, (int, np.integer)):
-        return int(_RAYGEN_DRAWS + bounce * _DRAWS_PER_BOUNCE + site)
-    return (jnp.int32(_RAYGEN_DRAWS) + bounce * jnp.int32(_DRAWS_PER_BOUNCE)
-            + jnp.int32(site))
+    return int(_RAYGEN_DRAWS + bounce * _DRAWS_PER_BOUNCE + site)
+
+
+def _premixed_counter(counter: int) -> int:
+    """Host-side half of ops/rng.hash_combine: mix(counter) + GOLDEN."""
+    m = 0xFFFFFFFF
+    c = int(counter) & m
+    c = c ^ (c >> 16)
+    c = (c * int(_M1)) & m
+    c = c ^ (c >> 15)
+    c = (c * int(_M2)) & m
+    c = c ^ (c >> 16)
+    return (c + int(_GOLDEN)) & m
+
+
+def _bounce_cms(bounce: int) -> jax.Array:
+    """[_NUM_SITES, _ROWS, _LANES] u32 of pre-mixed per-site counters for
+    ``bounce`` — passed to the kernels as data so one compiled kernel
+    serves every bounce."""
+    vals = np.array([_premixed_counter(_bounce_site(bounce, s))
+                     for s in range(_NUM_SITES)], np.uint32)
+    return jnp.asarray(np.broadcast_to(
+        vals[:, None, None], (_NUM_SITES, _ROWS, _LANES)))
+
+
+def _uniform_cm(seeds, cm):
+    """[0,1) f32 tile from the pre-mixed counter tile ``cm`` — the
+    in-kernel half of ops/rng.uniform (bit-identical)."""
+    bits = _mix_u32(seeds ^ cm)
+    # Mosaic has no u32->f32 cast; bits >> 8 < 2^24 fits i32 exactly.
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
 
 
 # ---------------------------------------------------------------------------
@@ -354,13 +384,14 @@ def _spherical_dir(s, t, n, phi, sin_theta, cos_theta):
     ))
 
 
-def _sample_brdf(wo, normal, kd, ks, ns, seeds, bounce, specular_prob):
-    """ops/brdf.sample_brdf (kernel_bvh.cl:221-302), SoA in-kernel."""
-    u_lobe = _uniform(seeds, _bounce_site(bounce, _SITE_LOBE))
-    du1 = _uniform(seeds, _bounce_site(bounce, _SITE_DIFF_PHI))
-    du2 = _uniform(seeds, _bounce_site(bounce, _SITE_DIFF_R2))
-    su1 = _uniform(seeds, _bounce_site(bounce, _SITE_SPEC_PHI))
-    su2 = _uniform(seeds, _bounce_site(bounce, _SITE_SPEC_COS))
+def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob):
+    """ops/brdf.sample_brdf (kernel_bvh.cl:221-302), SoA in-kernel.
+    ``cms``: [_NUM_SITES, ROWS, 128] pre-mixed counter tiles."""
+    u_lobe = _uniform_cm(seeds, cms[_SITE_LOBE])
+    du1 = _uniform_cm(seeds, cms[_SITE_DIFF_PHI])
+    du2 = _uniform_cm(seeds, cms[_SITE_DIFF_R2])
+    su1 = _uniform_cm(seeds, cms[_SITE_SPEC_PHI])
+    su2 = _uniform_cm(seeds, cms[_SITE_SPEC_COS])
     pick_spec = u_lobe > (1.0 - specular_prob)
 
     s, t = _build_onb(normal)
@@ -461,7 +492,7 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
 
 
 def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
-                  bounce, lv, num_lights: int, cfg: RenderConfig):
+                  cms, lv, num_lights: int, cfg: RenderConfig):
     """One bounce of the reference recurrence (Render, kernel_bvh.cl:
     349-384) on [_ROWS, 128] tiles — the exact per-bounce math of
     ops/integrator.trace_paths.bounce_step."""
@@ -483,7 +514,7 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 
     wo = _neg3(d3)
     wi, f, pdf, valid = _sample_brdf(wo, normal, at.kd, at.ks, at.ns,
-                                     seeds, bounce, cfg.specular_prob)
+                                     seeds, cms, cfg.specular_prob)
     cos_i = _dot3(wi, normal)
     pdf_safe = jnp.where(pdf > 0.0, pdf, 1.0)
     scale = cos_i / pdf_safe
@@ -510,78 +541,77 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel.
+# Forward bounce kernel: one fused bounce
+# (intersect -> gather -> shade -> next-ray state).
 
-def _forward_kernel(tab_ref, pk_ref, lv_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    seed_ref,
-                    rx_ref, ry_ref, rz_ref, idx_ref,
-                    *, cfg: RenderConfig, num_lights: int, T_pad: int):
+def _bounce_fwd_kernel(tab_ref, pk_ref, lv_ref, cms_ref,
+                       o_ref, d_ref, beta_ref, af_ref, seed_ref,
+                       no_ref, nd_ref, nbeta_ref, naf_ref, rad_ref, idx_ref,
+                       *, cfg: RenderConfig, num_lights: int, T_pad: int):
     tableT = tab_ref[:]
     lv = lv_ref[:]
+    cms = cms_ref[:]
     seeds = seed_ref[:]
-    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
-    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
-    ones = jnp.ones((_ROWS, _LANES), jnp.float32)
+    o3 = (o_ref[0], o_ref[1], o_ref[2])
+    d3 = (d_ref[0], d_ref[1], d_ref[2])
+    beta3 = (beta_ref[0], beta_ref[1], beta_ref[2])
+    alive = af_ref[:] > 0.0
     zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
-    # Statically unrolled bounce loop: an scf.for here sends the Mosaic
-    # compiler into a tailspin (bounces=2 compiles for >8 min; unrolled
-    # bounces=9 compiles in well under a minute), and unrolling also
-    # lets every bounce's RNG counters fold to constants.
-    carry = (o3, d3, (ones, ones, ones), (zeros, zeros, zeros),
-             jnp.ones((_ROWS, _LANES), bool))
-    for b in range(cfg.bounces):
-        o3c, d3c, beta3, rad3, alive = carry
-        i_best = _mt_closest(pk_ref, o3c, d3c, cfg.t_max, cfg.backface_cull,
-                             T_pad)
-        idx_ref[b] = i_best
-        at = _gather_attrs(tableT, i_best)
-        carry = _shade_bounce(at, i_best, o3c, d3c, beta3, rad3, alive,
-                              seeds, b, lv, num_lights, cfg)
-    rad3 = carry[3]
-    # Final clamp (kernel_bvh.cl:383).
-    rx_ref[:] = jnp.maximum(rad3[0], 0.0)
-    ry_ref[:] = jnp.maximum(rad3[1], 0.0)
-    rz_ref[:] = jnp.maximum(rad3[2], 0.0)
+    i_best = _mt_closest(pk_ref, o3, d3, cfg.t_max, cfg.backface_cull,
+                         T_pad)
+    idx_ref[:] = i_best
+    at = _gather_attrs(tableT, i_best)
+    o3n, d3n, beta3n, rad3, alive_n = _shade_bounce(
+        at, i_best, o3, d3, beta3, (zeros, zeros, zeros), alive, seeds,
+        cms, lv, num_lights, cfg)
+
+    for i in range(3):
+        no_ref[i] = o3n[i]
+        nd_ref[i] = d3n[i]
+        nbeta_ref[i] = beta3n[i]
+        rad_ref[i] = rad3[i]
+    naf_ref[:] = jnp.where(alive_n, 1.0, 0.0)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel: replay with recorded indices + in-kernel jax.vjp.
+# Backward bounce kernel: replay ONE bounce with the recorded winner
+# indices frozen and run jax.vjp of the replay inside the kernel.
 
-def _backward_kernel(tab_ref, lv_ref,
-                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                     seed_ref, idx_ref, gx_ref, gy_ref, gz_ref,
-                     dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
-                     dtab_ref, dlv_ref,
-                     *, cfg: RenderConfig, num_lights: int):
+def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
+                       o_ref, d_ref, beta_ref, af_ref, seed_ref, idx_ref,
+                       co_ref, cd_ref, cbeta_ref, crad_ref,
+                       do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref,
+                       *, cfg: RenderConfig, num_lights: int):
     tableT = tab_ref[:]
     lv = lv_ref[:]
+    cms = cms_ref[:]
     seeds = seed_ref[:]
-    idxs = idx_ref[:]                     # [bounces, ROWS, 128]
-    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
-    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+    i_best = idx_ref[:]
+    alive = af_ref[:] > 0.0
+    o3 = (o_ref[0], o_ref[1], o_ref[2])
+    d3 = (d_ref[0], d_ref[1], d_ref[2])
+    beta3 = (beta_ref[0], beta_ref[1], beta_ref[2])
+    zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
-    def replay(tabv, lvv, o3v, d3v):
-        ones = jnp.ones((_ROWS, _LANES), jnp.float32)
-        zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
-        carry = (o3v, d3v, (ones, ones, ones), (zeros, zeros, zeros),
-                 jnp.ones((_ROWS, _LANES), bool))
-        for b in range(cfg.bounces):
-            o3c, d3c, beta3, rad3, alive = carry
-            i_best = idxs[b]              # frozen hit record (constant)
-            at = _gather_attrs(tabv, i_best)
-            carry = _shade_bounce(at, i_best, o3c, d3c, beta3, rad3,
-                                  alive, seeds, b, lvv, num_lights, cfg)
-        rad3 = carry[3]
-        return (jnp.maximum(rad3[0], 0.0), jnp.maximum(rad3[1], 0.0),
-                jnp.maximum(rad3[2], 0.0))
+    def replay(tabv, lvv, o3v, d3v, beta3v):
+        at = _gather_attrs(tabv, i_best)      # frozen hit record
+        o3n, d3n, beta3n, rad3, _ = _shade_bounce(
+            at, i_best, o3v, d3v, beta3v, (zeros, zeros, zeros), alive,
+            seeds, cms, lvv, num_lights, cfg)
+        return o3n, d3n, beta3n, rad3
 
-    _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3)
-    d_tab, d_lv, d_o3, d_d3 = vjp_fn((gx_ref[:], gy_ref[:], gz_ref[:]))
+    _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3, beta3)
+    cot = ((co_ref[0], co_ref[1], co_ref[2]),
+           (cd_ref[0], cd_ref[1], cd_ref[2]),
+           (cbeta_ref[0], cbeta_ref[1], cbeta_ref[2]),
+           (crad_ref[0], crad_ref[1], crad_ref[2]))
+    d_tab, d_lv, d_o3, d_d3, d_beta3 = vjp_fn(cot)
 
-    dox_ref[:], doy_ref[:], doz_ref[:] = d_o3
-    ddx_ref[:], ddy_ref[:], ddz_ref[:] = d_d3
+    for i in range(3):
+        do_ref[i] = d_o3[i]
+        dd_ref[i] = d_d3[i]
+        dbeta_ref[i] = d_beta3[i]
 
     # Accumulate table/light grads across sequential grid steps.
     @pl.when(pl.program_id(0) == 0)
@@ -612,116 +642,109 @@ def _const_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _mega_forward(tableT, lv, o, d, seeds, cfg: RenderConfig):
-    R = o.shape[0]
+def _vec_spec():
+    """[3, n_rows, 128] stacked xyz panels, ray-blocked on dim 1."""
+    return pl.BlockSpec((3, _ROWS, _LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scalar_spec():
+    return pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_bounce_fwd(tableT, lv, packed, o, d, beta, aliveF, seeds, cms,
+                    cfg: RenderConfig):
+    """One fused bounce over the whole wavefront. All ray state is in
+    stacked-panel layout ([3, n_rows, 128] / [n_rows, 128])."""
     T_pad = tableT.shape[1]
     num_lights = lv.shape[0]
-    # Non-differentiable M-T layout, derived from the table (v0/e1/e2
-    # rows transposed into [T_pad, 16] sublane columns).
-    packed = jnp.zeros((T_pad, 16), jnp.float32)
-    packed = packed.at[:, :9].set(
-        jax.lax.stop_gradient(tableT[:9]).T)
-
-    comps = [_to_panels(o[:, 0], R), _to_panels(o[:, 1], R),
-             _to_panels(o[:, 2], R),
-             _to_panels(d[:, 0], R), _to_panels(d[:, 1], R),
-             _to_panels(d[:, 2], R, fill=1.0),
-             _to_panels(seeds.astype(jnp.uint32), R)]
-    n_rows = comps[0].shape[0]
+    n_rows = aliveF.shape[0]
     grid = (n_rows // _ROWS,)
 
-    kernel = functools.partial(_forward_kernel, cfg=cfg,
+    kernel = functools.partial(_bounce_fwd_kernel, cfg=cfg,
                                num_lights=num_lights, T_pad=T_pad)
-    rx, ry, rz, idx_rec = pl.pallas_call(
+    vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
+    scal_shape = jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=([_const_spec((_C_PAD, T_pad)),
-                   _const_spec((T_pad, 16)),
-                   _const_spec((num_lights, _LCOLS))]
-                  + _ray_specs(7)),
-        out_specs=(*_ray_specs(3),
-                   pl.BlockSpec((cfg.bounces, _ROWS, _LANES),
-                                lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.bounces, n_rows, _LANES), jnp.int32),
-        ),
+        in_specs=[_const_spec((_C_PAD, T_pad)),
+                  _const_spec((T_pad, 16)),
+                  _const_spec((num_lights, _LCOLS)),
+                  _const_spec((_NUM_SITES, _ROWS, _LANES)),
+                  _vec_spec(), _vec_spec(), _vec_spec(),
+                  _scalar_spec(), _scalar_spec()],
+        out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
+                   _scalar_spec(), _vec_spec(), _scalar_spec()),
+        out_shape=(vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
+                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32)),
         interpret=_interpret(),
-    )(tableT, packed, lv, *comps)
-    radiance = jnp.stack([rx.reshape(-1)[:R], ry.reshape(-1)[:R],
-                          rz.reshape(-1)[:R]], axis=-1)
-    return radiance, idx_rec
+    )(tableT, packed, lv, cms, o, d, beta, aliveF, seeds)
 
 
-def _mega_backward(tableT, lv, o, d, seeds, idx_rec, g, cfg: RenderConfig):
-    R = o.shape[0]
+def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
+                    cot, cfg: RenderConfig):
     T_pad = tableT.shape[1]
     num_lights = lv.shape[0]
-    comps = [_to_panels(o[:, 0], R), _to_panels(o[:, 1], R),
-             _to_panels(o[:, 2], R),
-             _to_panels(d[:, 0], R), _to_panels(d[:, 1], R),
-             _to_panels(d[:, 2], R, fill=1.0),
-             _to_panels(seeds.astype(jnp.uint32), R),
-             ]
-    gcomps = [_to_panels(g[:, 0], R), _to_panels(g[:, 1], R),
-              _to_panels(g[:, 2], R)]
-    n_rows = comps[0].shape[0]
+    n_rows = aliveF.shape[0]
     grid = (n_rows // _ROWS,)
+    co, cd, cbeta, crad = cot
 
-    kernel = functools.partial(_backward_kernel, cfg=cfg,
+    kernel = functools.partial(_bounce_bwd_kernel, cfg=cfg,
                                num_lights=num_lights)
-    idx_spec = pl.BlockSpec((cfg.bounces, _ROWS, _LANES),
-                            lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=([_const_spec((_C_PAD, T_pad)),
-                   _const_spec((num_lights, _LCOLS))]
-                  + _ray_specs(7) + [idx_spec] + _ray_specs(3)),
-        out_specs=(*_ray_specs(6),
+        in_specs=[_const_spec((_C_PAD, T_pad)),
+                  _const_spec((num_lights, _LCOLS)),
+                  _const_spec((_NUM_SITES, _ROWS, _LANES)),
+                  _vec_spec(), _vec_spec(), _vec_spec(),
+                  _scalar_spec(), _scalar_spec(), _scalar_spec(),
+                  _vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
+        out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
                    _const_spec((_C_PAD, T_pad)),
                    _const_spec((num_lights, _LCOLS))),
-        out_shape=(
-            *(jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
-              for _ in range(6)),
-            jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32),
-        ),
+        out_shape=(vec_shape, vec_shape, vec_shape,
+                   jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32)),
         interpret=_interpret(),
-    )(tableT, lv, *comps, idx_rec, *gcomps)
-    dox, doy, doz, ddx, ddy, ddz, d_tab, d_lv = outs
-
-    def unpanel(p):
-        return p.reshape(-1)[:R]
-
-    d_o = jnp.stack([unpanel(dox), unpanel(doy), unpanel(doz)], axis=-1)
-    d_d = jnp.stack([unpanel(ddx), unpanel(ddy), unpanel(ddz)], axis=-1)
-    return d_tab, d_lv, d_o, d_d
+    )(tableT, lv, cms, o, d, beta, aliveF, seeds, idx, co, cd, cbeta, crad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _mega_trace(tableT, lv, o, d, seeds, cfg: RenderConfig):
-    rad, _ = _mega_forward(tableT, lv, o, d, seeds, cfg)
-    return rad
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _bounce(tableT, lv, packed, o, d, beta, aliveF, seeds, cms,
+            cfg: RenderConfig):
+    """Differentiable fused bounce: (o, d, beta, aliveF) -> next state +
+    this bounce's radiance contribution. JAX chains the per-bounce VJPs
+    in reverse automatically, so the full path gradient needs no
+    trace-level custom machinery."""
+    no, nd, nbeta, naf, rad, _ = _run_bounce_fwd(
+        tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg)
+    return no, nd, nbeta, naf, rad
 
 
-def _mega_trace_fwd(tableT, lv, o, d, seeds, cfg):
-    rad, idx_rec = _mega_forward(tableT, lv, o, d, seeds, cfg)
-    return rad, (tableT, lv, o, d, seeds, idx_rec)
+def _bounce_fwd(tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg):
+    no, nd, nbeta, naf, rad, idx = _run_bounce_fwd(
+        tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg)
+    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, cms)
+    return (no, nd, nbeta, naf, rad), res
 
 
-def _mega_trace_bwd(cfg, res, g):
-    tableT, lv, o, d, seeds, idx_rec = res
-    d_tab, d_lv, d_o, d_d = _mega_backward(tableT, lv, o, d, seeds,
-                                           idx_rec, g, cfg)
-    d_seeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
-    return d_tab, d_lv, d_o, d_d, d_seeds
+def _bounce_bwd(cfg, res, cots):
+    tableT, lv, o, d, beta, aliveF, seeds, idx, cms = res
+    co, cd, cbeta, _caf, crad = cots   # alive mask carries no gradient
+    d_o, d_d, d_beta, d_tab, d_lv = _run_bounce_bwd(
+        tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
+        (co, cd, cbeta, crad), cfg)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    d_packed = jnp.zeros((tableT.shape[1], 16), jnp.float32)
+    return (d_tab, d_lv, d_packed, d_o, d_d, d_beta,
+            jnp.zeros_like(aliveF), f0(seeds), f0(cms))
 
 
-_mega_trace.defvjp(_mega_trace_fwd, _mega_trace_bwd)
+_bounce.defvjp(_bounce_fwd, _bounce_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -771,9 +794,8 @@ def eligible(scene: Scene, cfg: RenderConfig) -> bool:
 
 def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
                      directions: jax.Array, seeds: jax.Array) -> jax.Array:
-    """Drop-in replacement for ops/integrator.trace_paths running the
-    whole bounce loop fused in one Pallas kernel. Returns radiance [R, 3].
-    """
+    """Drop-in replacement for ops/integrator.trace_paths running each
+    bounce fused in one Pallas kernel. Returns radiance [R, 3]."""
     if not eligible(scene, cfg):
         raise ValueError(
             "megakernel backend requires <= %d triangles, float32, and "
@@ -781,6 +803,40 @@ def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
             % (_MAX_TRIS, scene.num_triangles, cfg.shadow_rays, cfg.dtype))
     tableT = build_mega_table(scene.geometry, scene.materials)
     lv = pack_lights(scene.lights)
-    o = origins.astype(jnp.float32)
-    d = directions.astype(jnp.float32)
-    return _mega_trace(tableT, lv, o, d, seeds, cfg)
+    R = origins.shape[0]
+    # Non-differentiable M-T layout, derived from the table (v0/e1/e2
+    # rows transposed into [T_pad, 16] sublane columns).
+    packed = jnp.zeros((tableT.shape[1], 16), jnp.float32)
+    packed = packed.at[:, :9].set(jax.lax.stop_gradient(tableT[:9]).T)
+
+    def vec_panels(a, zfill=0.0):
+        return jnp.stack([_to_panels(a[:, 0], R), _to_panels(a[:, 1], R),
+                          _to_panels(a[:, 2], R, fill=zfill)])
+
+    o = vec_panels(origins.astype(jnp.float32))
+    d = vec_panels(directions.astype(jnp.float32), zfill=1.0)
+    seeds_p = _to_panels(seeds.astype(jnp.uint32), R)
+    n_rows = seeds_p.shape[0]
+    beta = jnp.ones((3, n_rows, _LANES), jnp.float32)
+    aliveF = jnp.ones((n_rows, _LANES), jnp.float32)
+    rad = jnp.zeros((3, n_rows, _LANES), jnp.float32)
+
+    # The bounce chain is a lax.scan at the XLA level (NOT inside the
+    # kernel — see module docstring) so the bounce kernel pair lowers
+    # and Mosaic-compiles exactly once; a python loop would lower nine
+    # separate (identical) kernels, paying ~15 s of remote compile each.
+    cms_all = jnp.stack([_bounce_cms(b) for b in range(cfg.bounces)])
+
+    def body(carry, cms):
+        o, d, beta, aliveF, rad = carry
+        o, d, beta, aliveF, rad_add = _bounce(
+            tableT, lv, packed, o, d, beta, aliveF, seeds_p, cms, cfg)
+        return (o, d, beta, aliveF, rad + rad_add), None
+
+    (_, _, _, _, rad), _ = jax.lax.scan(
+        body, (o, d, beta, aliveF, rad), cms_all)
+
+    # Final clamp (kernel_bvh.cl:383).
+    rad = jnp.maximum(rad, 0.0)
+    return jnp.stack([rad[0].reshape(-1)[:R], rad[1].reshape(-1)[:R],
+                      rad[2].reshape(-1)[:R]], axis=-1)
