@@ -25,10 +25,13 @@ def main() -> int:
     import mini_opencl_raytracer_tpu as mrt
     from mini_opencl_raytracer_tpu import grad as gradlib
 
+    from mini_opencl_raytracer_tpu.render import resolve_backend
+
     W, H, B = 1920, 1080, 9
     scene = mrt.cornell_scene()
     camera = mrt.Camera.default()
-    cfg = mrt.RenderConfig(width=W, height=H, bounces=B, backend="pallas")
+    cfg = mrt.RenderConfig(width=W, height=H, bounces=B, backend="auto")
+    backend = resolve_backend(scene, cfg)  # Cornell is mega-eligible
 
     def loss(s):
         return jnp.mean(mrt.render_sample(s, camera, cfg))
@@ -49,7 +52,8 @@ def main() -> int:
     rays_per_s = rays / dt
     target = 1.0e9
     print(json.dumps({
-        "metric": "rays/s/chip fwd+bwd, 1080p Cornell, 9 bounces (pallas)",
+        "metric": "rays/s/chip fwd+bwd, 1080p Cornell, 9 bounces (%s)"
+                  % backend,
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / target,

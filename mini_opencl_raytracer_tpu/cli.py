@@ -39,8 +39,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bounces", type=int, default=9)
     p.add_argument("--frames", type=int, default=16,
                    help="progressive samples to accumulate")
-    p.add_argument("--backend", default="pallas",
-                   choices=["bruteforce", "bvh", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bruteforce", "bvh", "pallas", "mega"])
     p.add_argument("--fov", type=float, default=45.0)
     p.add_argument("--skybox-intensity", type=float, default=1.0)
     p.add_argument("--light-type", default=None,
@@ -97,12 +97,14 @@ def cmd_render(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
+    from .render import resolve_backend
     scene, camera, cfg = _build(args)
     f = jax.jit(lambda s, c: render_sample(s, c, cfg))
     sec = time_fn(lambda: f(scene, camera), iters=args.iters)
     m = render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
-    m.update(backend=cfg.backend, width=cfg.width, height=cfg.height,
-             bounces=cfg.bounces, triangles=scene.num_triangles)
+    m.update(backend=resolve_backend(scene, cfg), width=cfg.width,
+             height=cfg.height, bounces=cfg.bounces,
+             triangles=scene.num_triangles)
     print(json.dumps(m))
     return 0
 

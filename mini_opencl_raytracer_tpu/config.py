@@ -61,11 +61,15 @@ class RenderConfig:
     # Number of rays processed per intersection tile on the brute-force
     # (oracle) path; keeps the [rays x tris] intermediates bounded.
     ray_chunk: int = 4096
-    # Intersection backend: "bruteforce" | "bvh" | "pallas" | "mega".
-    # "mega" runs the whole bounce loop fused in one Pallas kernel
-    # (ops/pallas/megakernel.py) for VMEM-resident scenes — the TPU
-    # analog of the reference's one-kernel frame (kernel_bvh.cl:415-456).
-    backend: str = "bvh"
+    # Intersection backend: "auto" | "bruteforce" | "bvh" | "pallas" |
+    # "mega". "mega" runs the whole bounce loop fused in one Pallas
+    # kernel (ops/pallas/megakernel.py) for VMEM-resident scenes — the
+    # TPU analog of the reference's one-kernel frame
+    # (kernel_bvh.cl:415-456). "auto" (the default) picks "mega" when
+    # megakernel.eligible() holds and the Pallas wavefront pipeline
+    # otherwise; an explicit "mega" likewise falls back to "pallas" for
+    # ineligible scenes (render.resolve_backend).
+    backend: str = "auto"
     # Rematerialize each bounce in the backward pass (jax.checkpoint on
     # the scan body): trades recompute for activation memory so full-res
     # gradient renders fit in HBM.

@@ -36,8 +36,9 @@ from ..models.scene import Camera, Scene
 from ..ops import rng
 from ..ops.camera import generate_rays
 from ..ops.integrator import trace_paths
-from ..ops.intersect import Hit, intersect_brute, occluded_brute
-from ..render import make_intersectors
+from ..ops.intersect import Hit
+from ..ops.pallas import megakernel as mega_mod
+from ..render import make_intersectors, resolve_backend
 
 
 def render_sample_dp(scene: Scene, camera: Camera, cfg: RenderConfig,
@@ -55,6 +56,7 @@ def render_sample_dp(scene: Scene, camera: Camera, cfg: RenderConfig,
     if R % dp:
         raise ValueError(f"pixels {R} not divisible by dp={dp}")
     pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+    backend = resolve_backend(scene, cfg)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -62,31 +64,58 @@ def render_sample_dp(scene: Scene, camera: Camera, cfg: RenderConfig,
         out_specs=P(mesh_cfg.dp_axis),
         check_vma=False)
     def body(ids_shard, scene_rep, camera_rep):
-        closest, any_hit = make_intersectors(scene_rep, cfg)
-        seeds = rng.pixel_seeds(ids_shard, jnp.uint32(frame))
-        o, d = generate_rays(camera_rep, cfg, ids_shard, seeds)
-        return trace_paths(scene_rep, cfg, o, d, seeds, closest, any_hit)
+        if backend == "mega":
+            closest = any_hit = None
+        else:
+            closest, any_hit = make_intersectors(scene_rep, cfg,
+                                                 backend=backend)
 
-    radiance = body(pixel_ids, scene, camera)
+        def one_spp(s, acc):
+            seeds = rng.pixel_seeds(
+                ids_shard, jnp.uint32(frame) * jnp.uint32(cfg.spp)
+                + jnp.uint32(s))
+            o, d = generate_rays(camera_rep, cfg, ids_shard, seeds)
+            if backend == "mega":
+                rad = mega_mod.trace_paths_mega(scene_rep, cfg, o, d, seeds)
+            else:
+                rad = trace_paths(scene_rep, cfg, o, d, seeds, closest,
+                                  any_hit)
+            return acc + rad
+
+        total = jax.lax.fori_loop(
+            0, cfg.spp, one_spp,
+            jnp.zeros((ids_shard.shape[0], 3), cfg.jnp_dtype()))
+        return total / cfg.spp
+
+    # jit so the remat'd scan body (jax.checkpoint's closed_call) is legal
+    # inside shard_map even when the caller didn't jit us; under an outer
+    # jit this inner jit is inlined for free.
+    radiance = jax.jit(body)(pixel_ids, scene, camera)
     return radiance.reshape(cfg.height, cfg.width, 3)
 
 
 def _shard_geometry(geometry, tp: int, index: jax.Array):
-    """Slice a triangle range for shard ``index`` (static equal split)."""
+    """Slice a triangle range for shard ``index`` (static equal split).
+
+    Padding triangles are all-zero (v0 = v1 = v2 = 0): degenerate, so
+    Moller-Trumbore's det == 0 rejects them on every backend, and —
+    unlike an out-at-infinity sentinel — they keep BVH/cluster builds
+    over the shard numerically finite.
+    """
     T = geometry.v0.shape[0]
     per = -(-T // tp)
 
     def pad_take(a):
         pad = per * tp - T
-        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
-                    constant_values=1e30 if a.dtype != jnp.int32 else 0)
+        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
         return jax.lax.dynamic_slice_in_dim(a, index * per, per, axis=0)
 
     return jax.tree_util.tree_map(pad_take, geometry), per
 
 
 def ring_intersect(o: jax.Array, d: jax.Array, scene: Scene,
-                   cfg: RenderConfig, tp_axis: str) -> Hit:
+                   cfg: RenderConfig, tp_axis: str,
+                   backend: str = "bruteforce") -> Hit:
     """Closest hit with geometry sharded over ``tp_axis``.
 
     Called *inside* shard_map. Each chip intersects the triangle shard it
@@ -95,19 +124,26 @@ def ring_intersect(o: jax.Array, d: jax.Array, scene: Scene,
     every ray has met every triangle and is back home. Triangle indices
     are globalized with the owning shard's offset so shading gathers work
     on the replicated shading table.
+
+    ``backend`` selects the per-shard intersector ("bruteforce" | "bvh" |
+    "pallas"): the local acceleration structure is built once over the
+    resident shard (traced build — pure-JAX LBVH / cluster packing) and
+    reused for every ring hop.
     """
     tp = jax.lax.axis_size(tp_axis)
     my = jax.lax.axis_index(tp_axis)
 
-    def local_hit(o_, d_, shard_idx):
-        geo_shard, per = _shard_geometry(scene.geometry, tp, shard_idx)
-        h = intersect_brute(o_, d_, geo_shard, t_max=cfg.t_max,
-                            backface_cull=cfg.backface_cull,
-                            ray_chunk=cfg.ray_chunk)
-        return Hit(t=h.t, tri_idx=h.tri_idx + shard_idx * per, hit=h.hit)
+    geo_shard, per = _shard_geometry(scene.geometry, tp, my)
+    closest, _ = make_intersectors(scene.replace(geometry=geo_shard), cfg,
+                                   backend=backend)
+    offset = my * per
+
+    def local_hit(o_, d_):
+        h = closest(o_, d_)
+        return Hit(t=h.t, tri_idx=h.tri_idx + offset, hit=h.hit)
 
     # Hop 0: intersect the shard we own.
-    best = local_hit(o, d, my)
+    best = local_hit(o, d)
     state = (o, d, best.t, best.tri_idx, best.hit.astype(jnp.int32))
 
     perm = [(i, (i + 1) % tp) for i in range(tp)]
@@ -117,7 +153,7 @@ def ring_intersect(o: jax.Array, d: jax.Array, scene: Scene,
             lambda x: jax.lax.ppermute(x, tp_axis, perm), state)
         # After k+1 rotations these rays originated at my - (k+1); they
         # now get intersected against MY shard.
-        h = local_hit(o_, d_, my)
+        h = local_hit(o_, d_)
         better = h.hit & (h.t < t_)
         return (o_, d_,
                 jnp.where(better, h.t, t_),
@@ -138,13 +174,19 @@ def render_sample_ring(scene: Scene, camera: Camera, cfg: RenderConfig,
     geometry sharded over ``tp`` (ring traversal) -> [H, W, 3].
 
     Shadow rays use the same ring (occlusion = ring closest-hit below the
-    light distance).
+    light distance). The per-shard intersector backend follows
+    ``cfg.backend`` ("auto"/"mega" resolve to the Pallas panel kernel —
+    the fused megakernel has no intersector-style entry point; geometry-
+    sharded fused traversal is the streaming megakernel's territory).
     """
     R = cfg.num_pixels
     dp = mesh.shape[mesh_cfg.dp_axis]
     if R % dp:
         raise ValueError(f"pixels {R} not divisible by dp={dp}")
     pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+    backend = resolve_backend(scene, cfg)
+    if backend == "mega":
+        backend = "pallas"
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -153,15 +195,25 @@ def render_sample_ring(scene: Scene, camera: Camera, cfg: RenderConfig,
         check_vma=False)
     def body(ids_shard, scene_rep, camera_rep):
         closest = functools.partial(ring_intersect, scene=scene_rep,
-                                    cfg=cfg, tp_axis=mesh_cfg.tp_axis)
+                                    cfg=cfg, tp_axis=mesh_cfg.tp_axis,
+                                    backend=backend)
 
         def any_hit(o, d, t_limit):
             h = closest(o, d)
             return h.hit & (h.t < t_limit)
 
-        seeds = rng.pixel_seeds(ids_shard, jnp.uint32(frame))
-        o, d = generate_rays(camera_rep, cfg, ids_shard, seeds)
-        return trace_paths(scene_rep, cfg, o, d, seeds, closest, any_hit)
+        def one_spp(s, acc):
+            seeds = rng.pixel_seeds(
+                ids_shard, jnp.uint32(frame) * jnp.uint32(cfg.spp)
+                + jnp.uint32(s))
+            o, d = generate_rays(camera_rep, cfg, ids_shard, seeds)
+            return acc + trace_paths(scene_rep, cfg, o, d, seeds, closest,
+                                     any_hit)
 
-    radiance = body(pixel_ids, scene, camera)
+        total = jax.lax.fori_loop(
+            0, cfg.spp, one_spp,
+            jnp.zeros((ids_shard.shape[0], 3), cfg.jnp_dtype()))
+        return total / cfg.spp
+
+    radiance = jax.jit(body)(pixel_ids, scene, camera)
     return radiance.reshape(cfg.height, cfg.width, 3)

@@ -39,18 +39,40 @@ from .ops.pallas import intersect as pallas_mod
 from .ops.pallas import megakernel as mega_mod
 
 
+def resolve_backend(scene: Scene, cfg: RenderConfig) -> str:
+    """Resolve ``cfg.backend`` to a concrete backend for ``scene``.
+
+    ``auto`` picks the fused megakernel when ``megakernel.eligible()``
+    holds (VMEM-resident scene, f32, no shadow rays) and the Pallas
+    wavefront pipeline otherwise. An explicit ``mega`` request likewise
+    falls back to ``pallas`` for ineligible scenes, per the megakernel
+    docstring contract.
+    """
+    if cfg.backend in ("auto", "mega"):
+        return "mega" if mega_mod.eligible(scene, cfg) else "pallas"
+    return cfg.backend
+
+
 def make_intersectors(scene: Scene, cfg: RenderConfig,
                       bvh: Optional["bvh_mod.BVH"] = None,
-                      accel=None):
+                      accel=None, backend: Optional[str] = None):
     """Build (closest_hit_fn, any_hit_fn) for the configured backend.
 
     Backends:
       * ``bruteforce`` — the all-pairs oracle (tests' ground truth);
       * ``bvh``        — LBVH traversal in pure JAX;
       * ``pallas``     — Pallas TPU kernels (MXU panel intersection).
+
+    The fused ``mega`` backend has no separate intersectors (the whole
+    bounce runs in one kernel) — callers resolve it first and only reach
+    here on the wavefront paths.
     """
     geo = scene.geometry
-    if cfg.backend == "bruteforce":
+    if backend is None:
+        backend = resolve_backend(scene, cfg)
+        if backend == "mega":
+            backend = "pallas"
+    if backend == "bruteforce":
         closest = functools.partial(
             intersect_brute, geometry=geo, t_max=cfg.t_max,
             backface_cull=cfg.backface_cull, ray_chunk=cfg.ray_chunk)
@@ -58,7 +80,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig,
             occluded_brute, geometry=geo,
             backface_cull=cfg.backface_cull, ray_chunk=cfg.ray_chunk)
         return closest, any_hit
-    if cfg.backend == "bvh":
+    if backend == "bvh":
         if bvh is None:
             bvh = bvh_mod.build_bvh(geo, BVHConfig())
         closest = functools.partial(
@@ -68,18 +90,19 @@ def make_intersectors(scene: Scene, cfg: RenderConfig,
             bvh_mod.occluded_bvh, bvh=bvh,
             backface_cull=cfg.backface_cull)
         return closest, any_hit
-    if cfg.backend == "pallas":
+    if backend == "pallas":
         return pallas_mod.make_intersectors(geo, cfg, accel=accel)
-    raise ValueError(f"unknown backend: {cfg.backend!r}")
+    raise ValueError(f"unknown backend: {backend!r}")
 
 
 def build_accel(scene: Scene, cfg: RenderConfig):
     """Host-side acceleration-structure build for the configured backend
     (call once per scene, OUTSIDE jit, and pass to render via ``accel``/
     ``bvh``). Uses the native C++ SAH builder when available."""
-    if cfg.backend == "bvh":
+    backend = resolve_backend(scene, cfg)
+    if backend == "bvh":
         return bvh_mod.build_bvh(scene.geometry, BVHConfig())
-    if cfg.backend == "pallas":
+    if backend == "pallas":
         return pallas_mod.build_accel(scene.geometry, cfg)
     return None
 
@@ -143,10 +166,12 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
     (see _swizzled_ids) — per-pixel values are identical either way, only
     the wavefront layout changes.
     """
-    if cfg.backend == "mega":
+    backend = resolve_backend(scene, cfg)
+    if backend == "mega":
         closest = any_hit = None
     else:
-        closest, any_hit = make_intersectors(scene, cfg, bvh=bvh, accel=accel)
+        closest, any_hit = make_intersectors(scene, cfg, bvh=bvh,
+                                             accel=accel, backend=backend)
     R = cfg.num_pixels
     pixel_ids = _swizzled_ids(cfg)
     swizzled = pixel_ids is not None
@@ -158,7 +183,7 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
                                 jnp.uint32(frame) * jnp.uint32(cfg.spp)
                                 + jnp.uint32(s))
         o, d = generate_rays(camera, cfg, pixel_ids, seeds)
-        if cfg.backend == "mega":
+        if backend == "mega":
             radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds)
         else:
             radiance = trace_paths(scene, cfg, o, d, seeds, closest, any_hit)

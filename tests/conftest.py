@@ -7,6 +7,7 @@ before JAX initializes, hence the env mutation at import time.
 """
 
 import os
+import re
 
 # FORCE cpu (not setdefault): on TPU machines the env presets a hardware
 # platform (e.g. JAX_PLATFORMS=axon) and a sitecustomize hook registers
@@ -15,10 +16,16 @@ import os
 # sharding test (round-1 verdict, "What's weak" #6).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Force (not merely default) 8 virtual devices: a preset XLA_FLAGS with a
+# smaller count would otherwise win and abort the suite at the device
+# assert below.
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_force_host_platform_device_count" in flags:
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                   "--xla_force_host_platform_device_count=8", flags)
+else:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np
 import pytest

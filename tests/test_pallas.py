@@ -18,6 +18,26 @@ def _random_rays(n, seed=0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+def _tri_t(geo, idx, o, d):
+    """Scalar Moller-Trumbore t of ray (o, d) against triangle idx (numpy
+    oracle for tie adjudication)."""
+    v0 = np.asarray(geo.v0)[idx]
+    e1 = np.asarray(geo.v1)[idx] - v0
+    e2 = np.asarray(geo.v2)[idx] - v0
+    p = np.cross(d, e2)
+    det = float(np.dot(e1, p))
+    if abs(det) < 1e-10:
+        return np.inf
+    tv = o - v0
+    u = float(np.dot(tv, p)) / det
+    q = np.cross(tv, e1)
+    v = float(np.dot(d, q)) / det
+    t = float(np.dot(e2, q)) / det
+    if u < 0 or v < 0 or u + v > 1 or t <= 0:
+        return np.inf
+    return t
+
+
 def test_panel_matches_bruteforce(cornell):
     geo = cornell.geometry
     tri = panel.pack_triangles(geo)
@@ -28,8 +48,16 @@ def test_panel_matches_bruteforce(cornell):
     m = np.asarray(brute.hit)
     np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ph.t)[m],
                                rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(brute.tri_idx)[m],
-                                  np.asarray(ph.tri_idx)[m])
+    # Winner indices may legitimately differ where two triangles tie at
+    # the same t (e.g. a ray hitting a shared edge); require that any
+    # mismatched winner achieves the same closest t.
+    ib, ip = np.asarray(brute.tri_idx), np.asarray(ph.tri_idx)
+    on, dn = np.asarray(o), np.asarray(d)
+    for r in np.nonzero(m & (ib != ip))[0]:
+        tb = _tri_t(geo, ib[r], on[r], dn[r])
+        tp = _tri_t(geo, ip[r], on[r], dn[r])
+        np.testing.assert_allclose(tp, tb, rtol=1e-5,
+                                   err_msg=f"ray {r}: non-tie index mismatch")
 
 
 def test_panel_ragged_ray_count(cornell):
