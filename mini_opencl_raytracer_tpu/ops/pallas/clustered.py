@@ -178,7 +178,10 @@ def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far):
     """[N, 128] slab test: AABB column slices ([N,1]) vs a ray row
     ([1,128] origin + inverse-direction components). Returns hit mask.
     Matches RayBounds semantics (kernel_bvh.cl:156-169) with min/max
-    instead of sign indexing."""
+    instead of sign indexing. ``t_far`` is a per-lane [1, 128] bound —
+    each ray culls against its OWN current closest hit (the reference's
+    ``min(tmax, t)``, kernel_bvh.cl:167), so one far ray no longer
+    disables culling for the other 127 lanes."""
     lox, loy, loz, hix, hiy, hiz = aabb_cols
     tx1 = (lox - ox) * ix
     tx2 = (hix - ox) * ix
@@ -287,20 +290,22 @@ def _clustered_kernel(sup_ref, cl_ref, tri_ref,
         t_init = tin_ref[pl.ds(r, 1), :]
         best_scratch[0:1, :] = t_init
         best_scratch[1:2, :] = jnp.full((1, _LANES), -1.0, jnp.float32)
-        # Packet-wide conservative far bound: the farthest live ray.
-        t_far0 = jnp.max(t_init)
 
-        # Level 0: all super-cluster AABBs vs this packet.
+        # Level 0: all super-cluster AABBs vs this packet, each lane
+        # bounded by its own t_init (per-ray culling).
         sup_hit = _slab_panel(
             _aabb_cols(sup_ref, 0, num_supers),
-            ox, oy, oz, ix, iy, iz, t_far0)          # [S, 128]
+            ox, oy, oz, ix, iy, iz, t_init)          # [S, 128]
         mask_scratch[pl.ds(0, num_supers), 0:1] = jnp.sum(
             sup_hit.astype(jnp.float32), axis=1, keepdims=True)
 
         def super_body(s, _):
             @pl.when(mask_scratch[s, 0] > 0.0)
             def _():
-                t_far = jnp.max(best_scratch[0:1, :])
+                # Per-lane current-best bound (kernel_bvh.cl:167): rays
+                # that already found a nearer hit stop opening clusters
+                # behind it, independently of the other 127 lanes.
+                t_far = best_scratch[0:1, :]
                 cl_hit = _slab_panel(
                     _aabb_cols(cl_ref, s * SUPER, SUPER),
                     ox, oy, oz, ix, iy, iz, t_far)   # [SUPER, 128]
@@ -411,7 +416,7 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
         grid=grid,
         in_specs=[full(cg.sup_aabb.shape), full(cg.cl_aabb.shape),
                   # Triangles stay in HBM; clusters are DMA'd on demand.
-                  pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
+                  pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.float32),

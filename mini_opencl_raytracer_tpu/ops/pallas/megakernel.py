@@ -21,11 +21,14 @@ Layout: rays are processed in groups of ``_ROWS`` x 128 (one grid step),
 every per-ray scalar is a full [_ROWS, 128] f32 tile so each VPU
 instruction runs at full width. Vectors are SoA component tuples
 (x, y, z) of such tiles; between kernels the state rides in stacked
-[3, R/128, 128] panel arrays. Intersection is dense Moller-Trumbore over
-[TB, _ROWS, 128] triangle-block panels (the megakernel targets
-VMEM-resident scenes, T <= _MAX_TRIS; larger scenes stay on the
-clustered kernel). Hit attributes are fetched with per-row one-hot MXU
-matmuls against a [C, T] shading table — the TPU-native gather.
+[3, R/128, 128] panel arrays. Intersection is dense Moller-Trumbore with
+the four M-T determinants computed on the MXU as one limb-packed bf16
+matmul per triangle block (see build_mt_table — f32-accurate at
+single-pass cost), leaving the VPU only the sign tests and the closest
+reduction (the megakernel targets VMEM-resident scenes, T <= _MAX_TRIS;
+larger scenes stay on the clustered kernel). Hit attributes are fetched
+with per-row one-hot MXU matmuls against a [C, T] shading table — the
+TPU-native gather.
 
 Differentiability (custom VJP per bounce, SURVEY.md section 7 step 5):
 
@@ -223,71 +226,153 @@ def _uniform_cm(seeds, cm):
 # ---------------------------------------------------------------------------
 # In-kernel building blocks (all pure functions of values).
 
-def _mt_closest(pk_ref, o3, d3, t_max: float, backface_cull: bool,
-                T_pad: int):
-    """Dense closest-hit Moller-Trumbore over all triangles.
+# MXU Moller-Trumbore: the four M-T determinants are bilinear forms in
+# per-ray features F = [d, o x d, o, 1] and per-triangle constants
+# (triple-product expansion of kernel_bvh.cl:98-153):
+#   det    = d . (e2 x e1)
+#   u*det  = (o x d) . e2 + d . (v0 x e2)
+#   v*det  = -(o x d) . e1 - d . (v0 x e1)
+#   t*det  = o . n - v0 . n,   n = e1 x e2
+# so one [4*TB, K] @ [K, rays] matmul computes every ray-triangle pair's
+# det/ud/vd/td on the MXU, leaving the VPU only the cheap epilogue
+# (sign tests + closest reduction). f32 accuracy at one-pass cost: both
+# operands are split into 3 bf16 limbs and the six significant limb
+# products are packed along K (6 x 16 = 96 <= 128), which the MXU
+# accumulates in f32 in a single pass — the manual equivalent of
+# Precision.HIGHEST without its 6 separate passes.
+_MT_K = 16          # feature columns (10 used, padded to sublane tile)
+_MT_LIMB_K = 6 * _MT_K
+_MT_BLOCK = 128     # triangles per matmul block (VMEM: [4*TB, R] f32)
 
-    ``pk_ref``: [T_pad, 16] VMEM ref (cols 0-2 v0, 3-5 e1, 6-8 e2;
-    padded rows have e1 = e2 = 0 so det == 0 -> never hit). Rays as
-    [_ROWS, 128] component tiles. Returns the winning triangle index
-    [_ROWS, 128] i32 (-1 = miss). Non-differentiable (forward only).
+# (G limb, F limb) significance pairs covering products down to 2^-24.
+_LIMB_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
+
+
+def _split3_bf16(x, barrier: bool = False):
+    """3-limb bf16 decomposition: x ~= l0 + l1 + l2 exactly to f32.
+
+    ``barrier=True`` wraps each rounding step in an optimization barrier:
+    under jit, XLA's algebraic simplifier otherwise cancels the
+    ``x - f32(bf16(x))`` residuals (treating the down-up cast as exact),
+    silently zeroing the l1/l2 limbs and degrading the split to plain
+    bf16 — measured as coplanar-surface misordering at render time.
+    Inside Pallas kernels Mosaic performs no such rewrite (and does not
+    support the barrier), so kernel-side splits pass ``False``.
     """
-    tb = min(T_pad, _TRI_BLOCK)
+    def snap(v):
+        return jax.lax.optimization_barrier(v) if barrier else v
+
+    l0 = snap(x.astype(jnp.bfloat16))
+    r1 = x - l0.astype(jnp.float32)
+    l1 = snap(r1.astype(jnp.bfloat16))
+    l2 = (r1 - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return l0, l1, l2
+
+
+def _mt_block_pad(T: int) -> int:
+    if T <= _MT_BLOCK:
+        return _ceil_to(max(T, 8), 8)
+    return _ceil_to(T, _MT_BLOCK)
+
+
+def build_mt_table(geometry: Geometry) -> jax.Array:
+    """[4 * T_pad, 96] bf16 limb-packed M-T table (non-differentiable;
+    closest-hit selection is a discrete choice — gradients flow through
+    the winner replay, not the selection, SURVEY.md section 7 step 5).
+
+    Row layout is block-major so the kernel slices one triangle block's
+    4*TB rows contiguously: for each block of TB triangles — TB det
+    rows, TB ud rows, TB vd rows, TB td rows. Padding triangles are
+    all-zero -> det == 0 -> rejected by the epilogue's |det| test.
+    """
+    g = geometry
+    v0 = jax.lax.stop_gradient(g.v0).astype(jnp.float32)
+    e1 = jax.lax.stop_gradient(g.v1).astype(jnp.float32) - v0
+    e2 = jax.lax.stop_gradient(g.v2).astype(jnp.float32) - v0
+    T = v0.shape[0]
+    T_pad = _mt_block_pad(T)
+    tb = min(T_pad, _MT_BLOCK)
+    n = jnp.cross(e1, e2)
+    rows = jnp.zeros((4, T_pad, _MT_K), jnp.float32)
+    rows = rows.at[0, :T, 0:3].set(-n)                     # det: d part
+    rows = rows.at[1, :T, 0:3].set(jnp.cross(v0, e2))      # ud: d part
+    rows = rows.at[1, :T, 3:6].set(e2)                     # ud: (o x d)
+    rows = rows.at[2, :T, 0:3].set(-jnp.cross(v0, e1))     # vd: d part
+    rows = rows.at[2, :T, 3:6].set(-e1)                    # vd: (o x d)
+    rows = rows.at[3, :T, 6:9].set(n)                      # td: o part
+    rows = rows.at[3, :T, 9].set(-jnp.sum(v0 * n, axis=1))  # td: const
+    # Block-major rows: [n_blocks, 4, TB, K] -> [4 * T_pad, K].
+    blocked = (rows.reshape(4, T_pad // tb, tb, _MT_K)
+               .transpose(1, 0, 2, 3).reshape(4 * T_pad, _MT_K))
+    g0, g1, g2 = _split3_bf16(blocked, barrier=True)
+    limbs = [g0, g1, g2]
+    return jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS], axis=1)
+
+
+def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
+                T_pad: int):
+    """Dense closest-hit Moller-Trumbore over all triangles, det/ud/vd/td
+    on the MXU (see build_mt_table). ``g_ref``: [4 * T_pad, 96] bf16 VMEM
+    ref. Rays as [_ROWS, 128] component tiles. Returns the winning
+    triangle index [_ROWS, 128] i32 (-1 = miss). Non-differentiable
+    (forward only)."""
+    tb = min(T_pad, _MT_BLOCK)
     n_blocks = T_pad // tb
-    ox, oy, oz = (c[None] for c in o3)   # [1, ROWS, 128]
-    dx, dy, dz = (c[None] for c in d3)
-    iota3 = jax.lax.broadcasted_iota(
-        jnp.int32, (tb, _ROWS, _LANES), 0).astype(jnp.float32)
+
+    def flat(x):                       # [ROWS, 128] -> [1, ROWS*128]
+        return x.reshape(1, _TILE)
+
+    c3 = _cross3(o3, d3)
+    one = jnp.ones((1, _TILE), jnp.float32)
+    zero6 = jnp.zeros((_MT_K - 10, _TILE), jnp.float32)
+    F = jnp.concatenate(
+        [flat(d3[0]), flat(d3[1]), flat(d3[2]),
+         flat(c3[0]), flat(c3[1]), flat(c3[2]),
+         flat(o3[0]), flat(o3[1]), flat(o3[2]), one, zero6], axis=0)
+    f0, f1, f2 = _split3_bf16(F)
+    fl = [f0, f1, f2]
+    F_limbs = jnp.concatenate([fl[j] for _, j in _LIMB_PAIRS], axis=0)
+
+    iota_t = jax.lax.broadcasted_iota(
+        jnp.int32, (tb, _TILE), 0).astype(jnp.float32)
 
     def block_body(b, carry):
-        t_best, i_best = carry           # [ROWS, 128] f32 each
-        blk = pk_ref[pl.ds(b * tb, tb), :]
-
-        def col(k):
-            return blk[:, k:k + 1].reshape(tb, 1, 1)
-
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-
-        # pvec = d x e2 (kernel_bvh.cl:112) — [tb, ROWS, 128] panels.
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
+        t_best, i_best = carry         # [1, TILE] f32 each
+        g_blk = g_ref[pl.ds(b * 4 * tb, 4 * tb), :]
+        res = jax.lax.dot_general(
+            g_blk, F_limbs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [4*tb, TILE]
+        det = res[0 * tb:1 * tb]
+        ud = res[1 * tb:2 * tb]
+        vd = res[2 * tb:3 * tb]
+        td = res[3 * tb:4 * tb]
         if backface_cull:
-            dvalid = det > _DET_EPS
+            det_s, ud_s, vd_s, td_s = det, ud, vd, td
         else:
-            dvalid = jnp.abs(det) > _DET_EPS
-        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
-
-        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-        ok = (dvalid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (tt > 0.0) & (tt < t_best[None]))
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            det_s, ud_s, vd_s, td_s = det * s, ud * s, vd * s, td * s
+        dvalid = det_s > _DET_EPS
+        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
+        tt = td_s * inv
+        ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
+              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < t_best))
         tt = jnp.where(ok, tt, _BIG)
 
-        t_blk = jnp.min(tt, axis=0)                       # [ROWS, 128]
-        win = tt <= t_blk[None]
-        i_blk = jnp.min(jnp.where(win, iota3, _BIG), axis=0)
+        t_blk = jnp.min(tt, axis=0, keepdims=True)   # [1, TILE]
+        win = tt <= t_blk
+        i_blk = jnp.min(jnp.where(win, iota_t, _BIG), axis=0, keepdims=True)
         better = t_blk < t_best
         t_best = jnp.where(better, t_blk, t_best)
         i_best = jnp.where(better, i_blk + jnp.float32(b * tb), i_best)
         return t_best, i_best
 
-    t0 = jnp.full((_ROWS, _LANES), min(t_max, _BIG), jnp.float32)
-    i0 = jnp.full((_ROWS, _LANES), -1.0, jnp.float32)
+    t0 = jnp.full((1, _TILE), min(t_max, _BIG), jnp.float32)
+    i0 = jnp.full((1, _TILE), -1.0, jnp.float32)
     if n_blocks == 1:
         t_best, i_best = block_body(0, (t0, i0))
     else:
         t_best, i_best = jax.lax.fori_loop(0, n_blocks, block_body, (t0, i0))
-    return i_best.astype(jnp.int32)
+    return i_best.reshape(_ROWS, _LANES).astype(jnp.int32)
 
 
 class _Attrs(NamedTuple):
@@ -544,10 +629,10 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 # Forward bounce kernel: one fused bounce
 # (intersect -> gather -> shade -> next-ray state).
 
-def _bounce_fwd_kernel(tab_ref, pk_ref, lv_ref, cms_ref,
+def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
                        o_ref, d_ref, beta_ref, af_ref, seed_ref,
                        no_ref, nd_ref, nbeta_ref, naf_ref, rad_ref, idx_ref,
-                       *, cfg: RenderConfig, num_lights: int, T_pad: int):
+                       *, cfg: RenderConfig, num_lights: int, mt_T_pad: int):
     tableT = tab_ref[:]
     lv = lv_ref[:]
     cms = cms_ref[:]
@@ -558,8 +643,8 @@ def _bounce_fwd_kernel(tab_ref, pk_ref, lv_ref, cms_ref,
     alive = af_ref[:] > 0.0
     zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
-    i_best = _mt_closest(pk_ref, o3, d3, cfg.t_max, cfg.backface_cull,
-                         T_pad)
+    i_best = _mt_closest(mt_ref, o3, d3, cfg.t_max, cfg.backface_cull,
+                         mt_T_pad)
     idx_ref[:] = i_best
     at = _gather_attrs(tableT, i_best)
     o3n, d3n, beta3n, rad3, alive_n = _shade_bounce(
@@ -653,24 +738,25 @@ def _scalar_spec():
                         memory_space=pltpu.VMEM)
 
 
-def _run_bounce_fwd(tableT, lv, packed, o, d, beta, aliveF, seeds, cms,
+def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
                     cfg: RenderConfig):
     """One fused bounce over the whole wavefront. All ray state is in
     stacked-panel layout ([3, n_rows, 128] / [n_rows, 128])."""
     T_pad = tableT.shape[1]
+    mt_T_pad = mt_table.shape[0] // 4
     num_lights = lv.shape[0]
     n_rows = aliveF.shape[0]
     grid = (n_rows // _ROWS,)
 
     kernel = functools.partial(_bounce_fwd_kernel, cfg=cfg,
-                               num_lights=num_lights, T_pad=T_pad)
+                               num_lights=num_lights, mt_T_pad=mt_T_pad)
     vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
     scal_shape = jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_const_spec((_C_PAD, T_pad)),
-                  _const_spec((T_pad, 16)),
+                  _const_spec(mt_table.shape),
                   _const_spec((num_lights, _LCOLS)),
                   _const_spec((_NUM_SITES, _ROWS, _LANES)),
                   _vec_spec(), _vec_spec(), _vec_spec(),
@@ -680,7 +766,7 @@ def _run_bounce_fwd(tableT, lv, packed, o, d, beta, aliveF, seeds, cms,
         out_shape=(vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
                    jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32)),
         interpret=_interpret(),
-    )(tableT, packed, lv, cms, o, d, beta, aliveF, seeds)
+    )(tableT, mt_table, lv, cms, o, d, beta, aliveF, seeds)
 
 
 def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
@@ -714,33 +800,33 @@ def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _bounce(tableT, lv, packed, o, d, beta, aliveF, seeds, cms,
+def _bounce(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
             cfg: RenderConfig):
     """Differentiable fused bounce: (o, d, beta, aliveF) -> next state +
     this bounce's radiance contribution. JAX chains the per-bounce VJPs
     in reverse automatically, so the full path gradient needs no
     trace-level custom machinery."""
     no, nd, nbeta, naf, rad, _ = _run_bounce_fwd(
-        tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg)
+        tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg)
     return no, nd, nbeta, naf, rad
 
 
-def _bounce_fwd(tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg):
+def _bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg):
     no, nd, nbeta, naf, rad, idx = _run_bounce_fwd(
-        tableT, lv, packed, o, d, beta, aliveF, seeds, cms, cfg)
-    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, cms)
+        tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg)
+    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, cms, mt_table.shape)
     return (no, nd, nbeta, naf, rad), res
 
 
 def _bounce_bwd(cfg, res, cots):
-    tableT, lv, o, d, beta, aliveF, seeds, idx, cms = res
+    tableT, lv, o, d, beta, aliveF, seeds, idx, cms, mt_shape = res
     co, cd, cbeta, _caf, crad = cots   # alive mask carries no gradient
     d_o, d_d, d_beta, d_tab, d_lv = _run_bounce_bwd(
         tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
         (co, cd, cbeta, crad), cfg)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    d_packed = jnp.zeros((tableT.shape[1], 16), jnp.float32)
-    return (d_tab, d_lv, d_packed, d_o, d_d, d_beta,
+    d_mt = jnp.zeros(mt_shape, jnp.bfloat16)
+    return (d_tab, d_lv, d_mt, d_o, d_d, d_beta,
             jnp.zeros_like(aliveF), f0(seeds), f0(cms))
 
 
@@ -804,10 +890,8 @@ def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
     tableT = build_mega_table(scene.geometry, scene.materials)
     lv = pack_lights(scene.lights)
     R = origins.shape[0]
-    # Non-differentiable M-T layout, derived from the table (v0/e1/e2
-    # rows transposed into [T_pad, 16] sublane columns).
-    packed = jnp.zeros((tableT.shape[1], 16), jnp.float32)
-    packed = packed.at[:, :9].set(jax.lax.stop_gradient(tableT[:9]).T)
+    # Non-differentiable limb-packed MXU M-T table (see build_mt_table).
+    mt_table = build_mt_table(scene.geometry)
 
     def vec_panels(a, zfill=0.0):
         return jnp.stack([_to_panels(a[:, 0], R), _to_panels(a[:, 1], R),
@@ -830,7 +914,7 @@ def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
     def body(carry, cms):
         o, d, beta, aliveF, rad = carry
         o, d, beta, aliveF, rad_add = _bounce(
-            tableT, lv, packed, o, d, beta, aliveF, seeds_p, cms, cfg)
+            tableT, lv, mt_table, o, d, beta, aliveF, seeds_p, cms, cfg)
         return (o, d, beta, aliveF, rad + rad_add), None
 
     (_, _, _, _, rad), _ = jax.lax.scan(
