@@ -56,6 +56,15 @@ class RenderConfig:
     # Probability of choosing the specular lobe per bounce
     # (kernel_bvh.cl:294-302: 50/50 russian roulette between lobes).
     specular_prob: float = 0.5
+    # Soft-visibility relaxation bandwidth (barycentric units) for
+    # silhouette gradients. 0 (default) = hard visibility, exactly the
+    # reference's semantics; > 0 blends each hit's contribution with the
+    # sky by a sigmoid of the winner triangle's barycentric edge margin
+    # (SoftRas-style), making the rendered image — and therefore its
+    # vertex gradients — smooth across silhouettes. Sky-backed
+    # silhouettes get quantitatively correct edge gradients;
+    # surface-over-surface edges are approximated by the sky blend.
+    soft_edge_sigma: float = 0.0
     # Gamma for output encoding (kernel_bvh.cl:405-413: 1/2.2 and 2.2).
     gamma: float = 2.2
     # Number of rays processed per intersection tile on the brute-force

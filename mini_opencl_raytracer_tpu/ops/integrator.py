@@ -66,17 +66,26 @@ def trace_paths(
         o, d, beta, radiance, alive = carry
 
         hit = intersect_fn(o, d)
-        at = hit_attributes(o, d, hit, st, backface_cull=cfg.backface_cull)
+        at = hit_attributes(o, d, hit, st, backface_cull=cfg.backface_cull,
+                            soft_sigma=cfg.soft_edge_sigma)
+        # Soft-visibility blend weight (1.0 in hard mode): each hit
+        # contribution is scaled by the winner's edge coverage and the
+        # remainder falls through to the sky, so silhouettes carry
+        # vertex gradients (config.soft_edge_sigma).
+        cov = at.coverage[:, None]
 
         # Miss -> constant-grey sky (kernel_bvh.cl:92-96, 358-362).
         miss = alive & ~hit.hit
         radiance = radiance + jnp.where(miss[:, None], beta * sky[None, :], 0.0)
 
         live = alive & hit.hit
+        if cfg.soft_edge_sigma > 0.0:
+            radiance = radiance + jnp.where(
+                live[:, None], (1.0 - cov) * beta * sky[None, :], 0.0)
 
         # Emission boost (kernel_bvh.cl:365: `* 50`).
         radiance = radiance + jnp.where(
-            live[:, None], beta * at.ke * cfg.emission_scale, 0.0)
+            live[:, None], cov * beta * at.ke * cfg.emission_scale, 0.0)
 
         wo = -d
         sample = sample_brdf(wo, at.normal, at.kd, at.ks, at.ns, seeds,
@@ -99,7 +108,7 @@ def trace_paths(
         if cfg.direct_specular:
             direct = direct + dl.specular_weight[:, None] * at.ks
         radiance = radiance + jnp.where(
-            (live & ok)[:, None], direct * beta_new, 0.0)
+            (live & ok)[:, None], cov * direct * beta_new, 0.0)
 
         alive_next = live & ok
         o_next = jnp.where(alive_next[:, None],

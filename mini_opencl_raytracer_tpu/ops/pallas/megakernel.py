@@ -309,16 +309,9 @@ def build_mt_table(geometry: Geometry) -> jax.Array:
     return jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS], axis=1)
 
 
-def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
-                T_pad: int):
-    """Dense closest-hit Moller-Trumbore over all triangles, det/ud/vd/td
-    on the MXU (see build_mt_table). ``g_ref``: [4 * T_pad, 96] bf16 VMEM
-    ref. Rays as [_ROWS, 128] component tiles. Returns the winning
-    triangle index [_ROWS, 128] i32 (-1 = miss). Non-differentiable
-    (forward only)."""
-    tb = min(T_pad, _MT_BLOCK)
-    n_blocks = T_pad // tb
-
+def _mt_features(o3, d3):
+    """Limb-packed ray-feature matrix [_MT_LIMB_K, _TILE] bf16 for the
+    M-T matmul (rays flattened into lanes)."""
     def flat(x):                       # [ROWS, 128] -> [1, ROWS*128]
         return x.reshape(1, _TILE)
 
@@ -329,28 +322,44 @@ def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
         [flat(d3[0]), flat(d3[1]), flat(d3[2]),
          flat(c3[0]), flat(c3[1]), flat(c3[2]),
          flat(o3[0]), flat(o3[1]), flat(o3[2]), one, zero6], axis=0)
-    f0, f1, f2 = _split3_bf16(F)
-    fl = [f0, f1, f2]
-    F_limbs = jnp.concatenate([fl[j] for _, j in _LIMB_PAIRS], axis=0)
+    fl = _split3_bf16(F)
+    return jnp.concatenate([fl[j] for _, j in _LIMB_PAIRS], axis=0)
 
+
+def _mt_block_dets(g_ref, b: int, tb: int, F_limbs, backface_cull: bool):
+    """One triangle block's sign-adjusted (det_s, ud_s, vd_s, td_s)
+    panels [tb, _TILE] from a single MXU pass (see build_mt_table)."""
+    g_blk = g_ref[pl.ds(b * 4 * tb, 4 * tb), :]
+    res = jax.lax.dot_general(
+        g_blk, F_limbs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [4*tb, TILE]
+    det = res[0 * tb:1 * tb]
+    ud = res[1 * tb:2 * tb]
+    vd = res[2 * tb:3 * tb]
+    td = res[3 * tb:4 * tb]
+    if backface_cull:
+        return det, ud, vd, td
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    return det * s, ud * s, vd * s, td * s
+
+
+def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
+                T_pad: int):
+    """Dense closest-hit Moller-Trumbore over all triangles, det/ud/vd/td
+    on the MXU (see build_mt_table). ``g_ref``: [4 * T_pad, 96] bf16 VMEM
+    ref. Rays as [_ROWS, 128] component tiles. Returns the winning
+    triangle index [_ROWS, 128] i32 (-1 = miss). Non-differentiable
+    (forward only)."""
+    tb = min(T_pad, _MT_BLOCK)
+    n_blocks = T_pad // tb
+    F_limbs = _mt_features(o3, d3)
     iota_t = jax.lax.broadcasted_iota(
         jnp.int32, (tb, _TILE), 0).astype(jnp.float32)
 
     def block_body(b, carry):
         t_best, i_best = carry         # [1, TILE] f32 each
-        g_blk = g_ref[pl.ds(b * 4 * tb, 4 * tb), :]
-        res = jax.lax.dot_general(
-            g_blk, F_limbs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [4*tb, TILE]
-        det = res[0 * tb:1 * tb]
-        ud = res[1 * tb:2 * tb]
-        vd = res[2 * tb:3 * tb]
-        td = res[3 * tb:4 * tb]
-        if backface_cull:
-            det_s, ud_s, vd_s, td_s = det, ud, vd, td
-        else:
-            s = jnp.where(det >= 0.0, 1.0, -1.0)
-            det_s, ud_s, vd_s, td_s = det * s, ud * s, vd * s, td * s
+        det_s, ud_s, vd_s, td_s = _mt_block_dets(g_ref, b, tb, F_limbs,
+                                                 backface_cull)
         dvalid = det_s > _DET_EPS
         inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
         tt = td_s * inv
@@ -375,6 +384,36 @@ def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
     return i_best.reshape(_ROWS, _LANES).astype(jnp.int32)
 
 
+def _mt_anyhit(g_ref, o3, d3, t_limit, backface_cull: bool, T_pad: int):
+    """Any-hit (shadow) query: True where some triangle lies at
+    0 < t < t_limit (occluded_brute semantics, ops/intersect.py:168).
+    ``t_limit``: [_ROWS, 128] per-ray bound. No winner tracking — just a
+    masked any-reduction per block, so a shadow pass costs one MXU pass
+    plus ~half the closest-hit epilogue."""
+    tb = min(T_pad, _MT_BLOCK)
+    n_blocks = T_pad // tb
+    F_limbs = _mt_features(o3, d3)
+    tlim = t_limit.reshape(1, _TILE)
+
+    def block_body(b, occ):
+        det_s, ud_s, vd_s, td_s = _mt_block_dets(g_ref, b, tb, F_limbs,
+                                                 backface_cull)
+        dvalid = det_s > _DET_EPS
+        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
+        tt = td_s * inv
+        ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
+              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < tlim))
+        return occ | jnp.any(ok, axis=0, keepdims=True)
+
+    occ0 = jnp.zeros((1, _TILE), jnp.bool_)
+    if n_blocks == 1:
+        occ = block_body(0, occ0)
+    else:
+        occ = jax.lax.fori_loop(0, n_blocks, block_body, occ0)
+    # Mosaic cannot reshape i1 vectors; round-trip through f32.
+    return occ.astype(jnp.float32).reshape(_ROWS, _LANES) > 0.0
+
+
 class _Attrs(NamedTuple):
     """Winning-triangle attributes as [_ROWS, 128] component tiles."""
 
@@ -390,23 +429,68 @@ class _Attrs(NamedTuple):
     ns: jax.Array
 
 
-def _gather_attrs(tableT, i_best) -> _Attrs:
-    """One-hot MXU gather of the winning triangle's table column.
+def _gather_stacked_impl(tableT, i_best):
+    """One-hot MXU gather: per ray row r, attrs_r = tableT @ onehot_r.
 
-    Per ray row r: onehot [T, 128] = (iota == idx_r); attrs_r =
-    tableT @ onehot -> [C_PAD, 128]; rows stacked into [C_PAD, ROWS, 128]
-    so each attribute is a clean [ROWS, 128] tile. Misses (idx == -1)
-    produce all-zero columns. Differentiable w.r.t. ``tableT`` (the
-    transpose is a scatter-add matmul, also on the MXU).
+    f32 accuracy at single-pass MXU cost: the table is split into 3 bf16
+    limbs concatenated along K with the (bf16-exact) onehot tiled to
+    match, so one DEFAULT-precision matmul sums all three limb products
+    — the one-hot structure means no accumulation error beyond the limb
+    decomposition itself. Misses (idx == -1) produce all-zero columns.
     """
     T_pad = tableT.shape[1]
+    t0, t1, t2 = _split3_bf16(tableT)
+    tab3 = jnp.concatenate([t0, t1, t2], axis=1)          # [C, 3T] bf16
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
     per_row = []
     for r in range(_ROWS):
-        onehot = (iota2 == i_best[r:r + 1, :]).astype(tableT.dtype)
-        per_row.append(jax.lax.dot(tableT, onehot,
-                                   precision=jax.lax.Precision.HIGHEST))
-    stacked = jnp.stack(per_row, axis=1)          # [C_PAD, ROWS, 128]
+        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
+        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=0)
+        per_row.append(jax.lax.dot(tab3, oh3,
+                                   preferred_element_type=jnp.float32))
+    return jnp.stack(per_row, axis=1)             # [C_PAD, ROWS, 128]
+
+
+@jax.custom_vjp
+def _gather_stacked(tableT, i_best):
+    return _gather_stacked_impl(tableT, i_best)
+
+
+def _gather_stacked_fwd(tableT, i_best):
+    return _gather_stacked_impl(tableT, i_best), (i_best, tableT.shape)
+
+
+def _gather_stacked_bwd(res, cot):
+    """d_tableT = sum_r cot_r @ onehot_r^T — the scatter-add matmul,
+    limb-packed the same way (3 bf16 limbs of the f32 cotangent along K)
+    so table gradients keep f32 accuracy at 1/2 the HIGHEST-precision
+    pass count. The contraction runs over the lane (ray) axis of both
+    operands, so no transpose is materialized."""
+    i_best, tab_shape = res
+    T_pad = tab_shape[1]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
+    # Contract the lane (ray) axes of both operands directly — measured
+    # faster than materializing a transposed one-hot.
+    dims = (((1,), (1,)), ((), ()))
+    d_tab = jnp.zeros(tab_shape, jnp.float32)
+    for r in range(_ROWS):
+        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
+        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=1)  # [T, 384]
+        c0, c1, c2 = _split3_bf16(cot[:, r, :])
+        cot3 = jnp.concatenate([c0, c1, c2], axis=1)             # [C, 384]
+        d_tab = d_tab + jax.lax.dot_general(
+            cot3, oh3, dims, preferred_element_type=jnp.float32)
+    d_idx = np.zeros(i_best.shape, dtype=jax.dtypes.float0)
+    return d_tab, d_idx
+
+
+_gather_stacked.defvjp(_gather_stacked_fwd, _gather_stacked_bwd)
+
+
+def _gather_attrs(tableT, i_best) -> _Attrs:
+    """Winning-triangle attribute fetch as [_ROWS, 128] component tiles
+    (see _gather_stacked). Differentiable w.r.t. ``tableT``."""
+    stacked = _gather_stacked(tableT, i_best)
 
     def c3(off):
         return (stacked[off], stacked[off + 1], stacked[off + 2])
@@ -446,7 +530,7 @@ def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
         u * at.n1[1] + v * at.n2[1] + w * at.n0[1],
         u * at.n1[2] + v * at.n2[2] + w * at.n0[2],
     ))
-    return pos, normal
+    return pos, normal, u, v
 
 
 def _build_onb(n):
@@ -529,12 +613,19 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob):
 
 
 def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
-                  direct_specular: bool):
+                  direct_specular: bool, shadow_fn=None, occ_bits=None,
+                  shadow_eps: float = 1e-2):
     """ops/lights.direct_light (lightPixel, kernel_bvh.cl:304-347), SoA.
-    ``lv``: [L, 16] lights value (see _L* column layout). No shadow rays
-    on this path (megakernel v1 eligibility excludes cfg.shadow_rays)."""
+    ``lv``: [L, 16] lights value (see _L* column layout).
+
+    Shadow rays: ``shadow_fn(o3, d3, t_limit) -> bool [ROWS, 128]`` casts
+    the occlusion query in-kernel (forward pass); ``occ_bits`` replays
+    recorded per-light occlusion (bit li) instead — the backward kernel
+    freezes the visibility decision exactly like the winner indices.
+    Returns (diffuse, specular, occ_bits_out)."""
     zero = jnp.zeros_like(pos[0])
     diff_total, spec_total = zero, zero
+    occ_out = jnp.zeros_like(pos[0], dtype=jnp.int32)
     for li in range(num_lights):
         lpx, lpy, lpz = lv[li, _LPOS], lv[li, _LPOS + 1], lv[li, _LPOS + 2]
         ldx, ldy, ldz = lv[li, _LDIR], lv[li, _LDIR + 1], lv[li, _LDIR + 2]
@@ -564,7 +655,21 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
                           / jnp.maximum(1.0 - cos_cut, 1e-6), 0.0, 1.0)
         attn = jnp.where(ltype >= 1.5, attn * spot_w, attn)
 
-        diff_total = diff_total + attn * intensity * ndotl
+        weight = attn * intensity * ndotl
+
+        if shadow_fn is not None or occ_bits is not None:
+            if occ_bits is not None:
+                blocked = ((occ_bits >> li) & 1) > 0
+            else:
+                so3 = _add3(pos, _scale3(l_unit, jnp.float32(shadow_eps)))
+                t_lim = jnp.where(is_dir, jnp.full_like(dist, _BIG),
+                                  dist - 2.0 * jnp.float32(shadow_eps))
+                blocked = shadow_fn(so3, l_unit, t_lim)
+            occ_out = occ_out | jnp.where(blocked, jnp.int32(1 << li),
+                                          jnp.int32(0))
+            weight = jnp.where(blocked, 0.0, weight)
+
+        diff_total = diff_total + weight
 
         if direct_specular:
             h = _normalize3(_add3(l_unit, wo))
@@ -572,19 +677,25 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
             spec = jnp.power(jnp.maximum(ndoth, 1e-6),
                              jnp.maximum(ns, 1.0))
             spec = jnp.where(ndotl > 0.0, spec, 0.0)
-            spec_total = spec_total + attn * intensity * spec
-    return diff_total, spec_total
+            spec_w = attn * intensity * spec
+            if shadow_fn is not None or occ_bits is not None:
+                spec_w = jnp.where(blocked, 0.0, spec_w)
+            spec_total = spec_total + spec_w
+    return diff_total, spec_total, occ_out
 
 
 def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
-                  cms, lv, num_lights: int, cfg: RenderConfig):
+                  cms, lv, num_lights: int, cfg: RenderConfig,
+                  shadow_fn=None, occ_bits=None):
     """One bounce of the reference recurrence (Render, kernel_bvh.cl:
     349-384) on [_ROWS, 128] tiles — the exact per-bounce math of
-    ops/integrator.trace_paths.bounce_step."""
+    ops/integrator.trace_paths.bounce_step. ``shadow_fn`` / ``occ_bits``
+    select in-kernel shadow casting vs frozen-mask replay (see
+    _direct_light); the per-light occlusion bitmask is returned last."""
     hit = i_best >= 0
     sky = tuple(jnp.float32(c * cfg.skybox_intensity) for c in cfg.sky_color)
 
-    pos, normal = _winner_point(at, o3, d3, hit, cfg.backface_cull)
+    pos, normal, uu, vv = _winner_point(at, o3, d3, hit, cfg.backface_cull)
 
     miss = alive & ~hit
     rad3 = _add3(rad3, _where3(miss,
@@ -593,8 +704,20 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
                                (jnp.zeros_like(rad3[0]),) * 3))
 
     live = alive & hit
+    # Soft-visibility coverage (ops/shading.soft_coverage; 1.0 when hard).
+    if cfg.soft_edge_sigma > 0.0:
+        margin = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
+        cov = jax.nn.sigmoid(margin / jnp.float32(cfg.soft_edge_sigma))
+        rad3 = _add3(rad3, _where3(
+            live,
+            (beta3[0] * ((1.0 - cov) * sky[0]),
+             beta3[1] * ((1.0 - cov) * sky[1]),
+             beta3[2] * ((1.0 - cov) * sky[2])),
+            (jnp.zeros_like(rad3[0]),) * 3))
+    else:
+        cov = jnp.float32(1.0)
     es = jnp.float32(cfg.emission_scale)
-    rad3 = _add3(rad3, _where3(live, _mul3(beta3, _scale3(at.ke, es)),
+    rad3 = _add3(rad3, _where3(live, _mul3(beta3, _scale3(at.ke, es * cov)),
                                (jnp.zeros_like(rad3[0]),) * 3))
 
     wo = _neg3(d3)
@@ -610,11 +733,13 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
     lo = live & ok
     beta_new = _where3(lo, _mul3(beta3, mul), beta3)
 
-    dl_diff, dl_spec = _direct_light(lv, num_lights, pos, normal, wo,
-                                     at.ns, cfg.direct_specular)
-    direct = _scale3(at.kd, dl_diff)
+    dl_diff, dl_spec, occ_out = _direct_light(
+        lv, num_lights, pos, normal, wo, at.ns, cfg.direct_specular,
+        shadow_fn=shadow_fn, occ_bits=occ_bits,
+        shadow_eps=cfg.ray_epsilon)
+    direct = _scale3(at.kd, dl_diff * cov)
     if cfg.direct_specular:
-        direct = _add3(direct, _scale3(at.ks, dl_spec))
+        direct = _add3(direct, _scale3(at.ks, dl_spec * cov))
     rad3 = _add3(rad3, _where3(lo, _mul3(direct, beta_new),
                                (jnp.zeros_like(rad3[0]),) * 3))
 
@@ -622,7 +747,7 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
     eps = jnp.float32(cfg.ray_epsilon)
     o_next = _where3(alive_next, _add3(pos, _scale3(wi, eps)), o3)
     d_next = _where3(alive_next, wi, d3)
-    return o_next, d_next, beta_new, rad3, alive_next
+    return o_next, d_next, beta_new, rad3, alive_next, occ_out
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +757,7 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
                        o_ref, d_ref, beta_ref, af_ref, seed_ref,
                        no_ref, nd_ref, nbeta_ref, naf_ref, rad_ref, idx_ref,
+                       occ_ref,
                        *, cfg: RenderConfig, num_lights: int, mt_T_pad: int):
     tableT = tab_ref[:]
     lv = lv_ref[:]
@@ -647,9 +773,14 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
                          mt_T_pad)
     idx_ref[:] = i_best
     at = _gather_attrs(tableT, i_best)
-    o3n, d3n, beta3n, rad3, alive_n = _shade_bounce(
+    if cfg.shadow_rays:
+        shadow_fn = lambda so3, sd3, tlim: _mt_anyhit(
+            mt_ref, so3, sd3, tlim, cfg.backface_cull, mt_T_pad)
+    else:
+        shadow_fn = None
+    o3n, d3n, beta3n, rad3, alive_n, occ = _shade_bounce(
         at, i_best, o3, d3, beta3, (zeros, zeros, zeros), alive, seeds,
-        cms, lv, num_lights, cfg)
+        cms, lv, num_lights, cfg, shadow_fn=shadow_fn)
 
     for i in range(3):
         no_ref[i] = o3n[i]
@@ -657,6 +788,7 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
         nbeta_ref[i] = beta3n[i]
         rad_ref[i] = rad3[i]
     naf_ref[:] = jnp.where(alive_n, 1.0, 0.0)
+    occ_ref[:] = occ
 
 
 # ---------------------------------------------------------------------------
@@ -665,6 +797,7 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
 
 def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
                        o_ref, d_ref, beta_ref, af_ref, seed_ref, idx_ref,
+                       occ_in_ref,
                        co_ref, cd_ref, cbeta_ref, crad_ref,
                        do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref,
                        *, cfg: RenderConfig, num_lights: int):
@@ -673,6 +806,7 @@ def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
     cms = cms_ref[:]
     seeds = seed_ref[:]
     i_best = idx_ref[:]
+    occ_bits = occ_in_ref[:] if cfg.shadow_rays else None
     alive = af_ref[:] > 0.0
     o3 = (o_ref[0], o_ref[1], o_ref[2])
     d3 = (d_ref[0], d_ref[1], d_ref[2])
@@ -681,9 +815,9 @@ def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
 
     def replay(tabv, lvv, o3v, d3v, beta3v):
         at = _gather_attrs(tabv, i_best)      # frozen hit record
-        o3n, d3n, beta3n, rad3, _ = _shade_bounce(
+        o3n, d3n, beta3n, rad3, _, _ = _shade_bounce(
             at, i_best, o3v, d3v, beta3v, (zeros, zeros, zeros), alive,
-            seeds, cms, lvv, num_lights, cfg)
+            seeds, cms, lvv, num_lights, cfg, occ_bits=occ_bits)
         return o3n, d3n, beta3n, rad3
 
     _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3, beta3)
@@ -762,14 +896,16 @@ def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
                   _vec_spec(), _vec_spec(), _vec_spec(),
                   _scalar_spec(), _scalar_spec()],
         out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
-                   _scalar_spec(), _vec_spec(), _scalar_spec()),
+                   _scalar_spec(), _vec_spec(), _scalar_spec(),
+                   _scalar_spec()),
         out_shape=(vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
+                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
                    jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32)),
         interpret=_interpret(),
     )(tableT, mt_table, lv, cms, o, d, beta, aliveF, seeds)
 
 
-def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
+def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
                     cot, cfg: RenderConfig):
     T_pad = tableT.shape[1]
     num_lights = lv.shape[0]
@@ -788,6 +924,7 @@ def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
                   _const_spec((_NUM_SITES, _ROWS, _LANES)),
                   _vec_spec(), _vec_spec(), _vec_spec(),
                   _scalar_spec(), _scalar_spec(), _scalar_spec(),
+                  _scalar_spec(),
                   _vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
         out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
                    _const_spec((_C_PAD, T_pad)),
@@ -796,7 +933,8 @@ def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
                    jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
                    jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32)),
         interpret=_interpret(),
-    )(tableT, lv, cms, o, d, beta, aliveF, seeds, idx, co, cd, cbeta, crad)
+    )(tableT, lv, cms, o, d, beta, aliveF, seeds, idx, occ,
+      co, cd, cbeta, crad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
@@ -806,23 +944,24 @@ def _bounce(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
     this bounce's radiance contribution. JAX chains the per-bounce VJPs
     in reverse automatically, so the full path gradient needs no
     trace-level custom machinery."""
-    no, nd, nbeta, naf, rad, _ = _run_bounce_fwd(
+    no, nd, nbeta, naf, rad, _, _ = _run_bounce_fwd(
         tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg)
     return no, nd, nbeta, naf, rad
 
 
 def _bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg):
-    no, nd, nbeta, naf, rad, idx = _run_bounce_fwd(
+    no, nd, nbeta, naf, rad, idx, occ = _run_bounce_fwd(
         tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg)
-    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, cms, mt_table.shape)
+    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
+           mt_table.shape)
     return (no, nd, nbeta, naf, rad), res
 
 
 def _bounce_bwd(cfg, res, cots):
-    tableT, lv, o, d, beta, aliveF, seeds, idx, cms, mt_shape = res
+    tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms, mt_shape = res
     co, cd, cbeta, _caf, crad = cots   # alive mask carries no gradient
     d_o, d_d, d_beta, d_tab, d_lv = _run_bounce_bwd(
-        tableT, lv, o, d, beta, aliveF, seeds, idx, cms,
+        tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
         (co, cd, cbeta, crad), cfg)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     d_mt = jnp.zeros(mt_shape, jnp.bfloat16)
@@ -871,10 +1010,11 @@ def pack_lights(lights: Lights) -> jax.Array:
 
 
 def eligible(scene: Scene, cfg: RenderConfig) -> bool:
-    """The megakernel serves VMEM-resident scenes without shadow rays;
-    everything else falls back to the wavefront pipeline."""
+    """The megakernel serves VMEM-resident scenes (shadow rays included
+    — in-kernel any-hit passes); everything else falls back to the
+    wavefront pipeline."""
     return (scene.num_triangles <= _MAX_TRIS
-            and not cfg.shadow_rays
+            and scene.lights.count <= 30   # occlusion bitmask is int32
             and cfg.jnp_dtype() == jnp.float32)
 
 
@@ -884,9 +1024,9 @@ def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
     bounce fused in one Pallas kernel. Returns radiance [R, 3]."""
     if not eligible(scene, cfg):
         raise ValueError(
-            "megakernel backend requires <= %d triangles, float32, and "
-            "shadow_rays=False (got T=%d, shadow_rays=%s, dtype=%s)"
-            % (_MAX_TRIS, scene.num_triangles, cfg.shadow_rays, cfg.dtype))
+            "megakernel backend requires <= %d triangles and float32 "
+            "(got T=%d, dtype=%s)"
+            % (_MAX_TRIS, scene.num_triangles, cfg.dtype))
     tableT = build_mega_table(scene.geometry, scene.materials)
     lv = pack_lights(scene.lights)
     R = origins.shape[0]

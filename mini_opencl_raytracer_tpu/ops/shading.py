@@ -90,14 +90,28 @@ class HitAttributes(NamedTuple):
     ks: jax.Array       # [R, 3] material specular
     ke: jax.Array       # [R, 3] material emission
     ns: jax.Array       # [R] material roughness/shininess exponent
+    coverage: jax.Array  # [R] soft edge coverage in (0,1]; 1.0 when hard
+
+
+def soft_coverage(u: jax.Array, v: jax.Array,
+                  soft_sigma: float) -> jax.Array:
+    """Sigmoid coverage of the winner's barycentric edge margin
+    min(u, v, 1-u-v): ~1 in the triangle interior, 0.5 exactly on an
+    edge, -> 0 just outside — the SoftRas-style visibility relaxation
+    that gives silhouettes nonzero vertex gradients (the edge term the
+    hard closest-hit derivative drops, grad.py module docstring)."""
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    return jax.nn.sigmoid(margin / soft_sigma)
 
 
 def hit_attributes(o: jax.Array, d: jax.Array, hit: Hit,
                    st: ShadingTable,
-                   backface_cull: bool = False) -> HitAttributes:
+                   backface_cull: bool = False,
+                   soft_sigma: float = 0.0) -> HitAttributes:
     """Fetch the winning triangle's row and recompute the differentiable
     intersection on it (t, u, v), then interpolate exactly as
-    kernel_bvh.cl:144-147."""
+    kernel_bvh.cl:144-147. ``soft_sigma`` > 0 adds the soft edge
+    coverage (see soft_coverage)."""
     rows = take_rows(st.table, hit.tri_idx)
 
     def c3(off):
@@ -109,8 +123,14 @@ def hit_attributes(o: jax.Array, d: jax.Array, hit: Hit,
     v0, v1, v2 = c3(st.V0), c3(st.V1), c3(st.V2)
     t, u, v, _ = ray_triangle(o, d, v0, v1, v2, backface_cull=backface_cull)
     t = jnp.where(hit.hit, t, 0.0)
-    u = jnp.where(hit.hit, u, 0.0)[:, None]
-    v = jnp.where(hit.hit, v, 0.0)[:, None]
+    u = jnp.where(hit.hit, u, 0.0)
+    v = jnp.where(hit.hit, v, 0.0)
+    if soft_sigma > 0.0:
+        coverage = soft_coverage(u, v, soft_sigma)
+    else:
+        coverage = jnp.ones_like(t)
+    u = u[:, None]
+    v = v[:, None]
     w = 1.0 - u - v
 
     pos = o + d * t[:, None]
@@ -119,5 +139,5 @@ def hit_attributes(o: jax.Array, d: jax.Array, hit: Hit,
     return HitAttributes(
         pos=pos, normal=normal, uv=uv,
         kd=c3(st.KD), ks=c3(st.KS), ke=c3(st.KE),
-        ns=rows[:, st.NS],
+        ns=rows[:, st.NS], coverage=coverage,
     )

@@ -112,6 +112,76 @@ def test_vertex_position_grad_interior(cornell):
                                rtol=0.2, atol=5e-2)
 
 
+def _floating_triangle_scene():
+    """One triangle floating in front of the camera against the sky —
+    the minimal silhouette-against-background setup."""
+    g = mrt.Geometry(
+        v0=jnp.array([[-4.0, 0.0, 4.0]]),
+        v1=jnp.array([[4.0, 0.0, 4.0]]),
+        v2=jnp.array([[0.0, 0.0, 12.0]]),
+        n0=jnp.array([[0.0, -1.0, 0.0]]),
+        n1=jnp.array([[0.0, -1.0, 0.0]]),
+        n2=jnp.array([[0.0, -1.0, 0.0]]),
+        uv0=jnp.zeros((1, 2)), uv1=jnp.zeros((1, 2)), uv2=jnp.zeros((1, 2)),
+        mat_idx=jnp.zeros((1,), jnp.int32))
+    m = mrt.Materials(
+        diffuse=jnp.array([[0.7, 0.2, 0.2]]),
+        specular=jnp.zeros((1, 3)),
+        emission=jnp.zeros((1, 3)),
+        roughness=jnp.array([9999.0]),
+        ior=jnp.array([1.0]))
+    return mrt.Scene(geometry=g, materials=m,
+                     lights=mrt.Lights.default_point())
+
+
+def test_silhouette_vertex_grad_fd():
+    """Edge-aware visibility gradients (soft_edge_sigma > 0): moving a
+    vertex changes which pixels the triangle covers; with the soft
+    relaxation the forward is smooth across the silhouette, so AD must
+    match FD through the *visibility* change — the term hard rendering
+    drops (round-2 verdict #8)."""
+    scene = _floating_triangle_scene()
+    cfg = mrt.RenderConfig(width=24, height=24, bounces=1,
+                           backend="bruteforce", specular_prob=0.0,
+                           soft_edge_sigma=0.05)
+    cam = mrt.Camera.default()
+
+    def f(v2):
+        s = scene.replace(geometry=scene.geometry.replace(v2=v2))
+        return gradlib.render_loss(s, cam, cfg, lambda img: jnp.sum(img))
+
+    base = scene.geometry.v2
+    ad = jax.grad(f)(base)
+    # Perturb the apex along +z: grows the triangle -> more sky covered.
+    eps = 2e-2
+    e = jnp.zeros_like(base).at[0, 2].set(eps)
+    fd = (f(base + e) - f(base - e)) / (2 * eps)
+    assert abs(float(fd)) > 1e-3, "test setup: silhouette term is live"
+    np.testing.assert_allclose(float(ad[0, 2]), float(fd),
+                               rtol=5e-2, atol=1e-3)
+    # Hard mode drops the silhouette term for this pure-visibility setup:
+    cfg_hard = mrt.RenderConfig(width=24, height=24, bounces=1,
+                                backend="bruteforce", specular_prob=0.0)
+    def f_hard(v2):
+        s = scene.replace(geometry=scene.geometry.replace(v2=v2))
+        return gradlib.render_loss(s, cam, cfg_hard,
+                                   lambda img: jnp.sum(img))
+    ad_hard = jax.grad(f_hard)(base)
+    assert np.isfinite(np.asarray(ad_hard)).all()
+
+
+def test_soft_edge_mega_matches_bruteforce():
+    """The soft-coverage path must agree across backends too."""
+    scene = _floating_triangle_scene()
+    cam = mrt.Camera.default()
+    kw = dict(width=24, height=24, bounces=2, soft_edge_sigma=0.05)
+    img_b = np.asarray(mrt.render_sample(
+        scene, cam, mrt.RenderConfig(backend="bruteforce", **kw)))
+    img_m = np.asarray(mrt.render_sample(
+        scene, cam, mrt.RenderConfig(backend="mega", **kw)))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+
+
 def test_scene_grad_api(cornell):
     g = gradlib.scene_grad(cornell, CAM, CFG, lambda img: jnp.mean(img))
     assert isinstance(g, mrt.Scene)

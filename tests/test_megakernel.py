@@ -70,11 +70,38 @@ def test_forward_directional_and_multi_light(cornell):
 
 def test_eligibility_gate(cornell):
     assert mk.eligible(cornell, _cfg("mega"))
-    assert not mk.eligible(cornell, _cfg("mega", shadow_rays=True))
+    assert mk.eligible(cornell, _cfg("mega", shadow_rays=True))
+    assert not mk.eligible(cornell, _cfg("mega", dtype="bfloat16"))
     with pytest.raises(ValueError):
-        cfg = _cfg("mega", shadow_rays=True)
+        cfg = _cfg("mega", dtype="bfloat16")
         o = jnp.zeros((4, 3))
         mk.trace_paths_mega(cornell, cfg, o, o, jnp.zeros((4,), jnp.uint32))
+
+
+def test_shadow_rays_match_bruteforce(cornell):
+    """In-kernel any-hit shadow passes (occluded_brute semantics) against
+    the oracle, including the recorded-occlusion replay in backward."""
+    cfg_b = _cfg("bruteforce", bounces=2, shadow_rays=True,
+                 direct_specular=True)
+    cfg_m = _cfg("mega", bounces=2, shadow_rays=True, direct_specular=True)
+    img_b = np.asarray(render_sample(cornell, CAM, cfg_b))
+    img_m = np.asarray(render_sample(cornell, CAM, cfg_m))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+
+
+def test_shadow_grads_match_bruteforce(cornell):
+    """Gradients with frozen-occlusion replay vs the autodiff oracle."""
+    cfg_b = _cfg("bruteforce", width=16, height=16, bounces=1,
+                 shadow_rays=True)
+    cfg_m = _cfg("mega", width=16, height=16, bounces=1, shadow_rays=True)
+    loss = lambda img: jnp.mean(img)
+    g_b = gradlib.scene_grad(cornell, CAM, cfg_b, loss)
+    g_m = gradlib.scene_grad(cornell, CAM, cfg_m, loss)
+    for a, b in zip(jax.tree_util.tree_leaves(g_b),
+                    jax.tree_util.tree_leaves(g_m)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
 
 
 def test_scene_grads_match_bruteforce(cornell):
