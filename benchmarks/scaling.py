@@ -23,16 +23,27 @@ import os
 import sys
 
 if "--cpu" in sys.argv:
+    import re
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_force_host_platform_device_count" in flags:
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                       "--xla_force_host_platform_device_count=8", flags)
+    else:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+if "--cpu" in sys.argv:
+    # The TPU sitecustomize hook snapshots JAX_PLATFORMS before this
+    # script runs; config.update post-import is authoritative
+    # (tests/conftest.py uses the same sequence).
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

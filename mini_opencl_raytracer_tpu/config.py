@@ -83,6 +83,14 @@ class RenderConfig:
     # the scan body): trades recompute for activation memory so full-res
     # gradient renders fit in HBM.
     remat: bool = True
+    # Sort the ray wavefront by direction octant + origin Morton code
+    # before each intersection (per-ray results are identical — only the
+    # packet layout changes). Restores packet coherence for secondary
+    # bounces so the cluster-culled kernel's AABB rejection works on
+    # incoherent diffuse rays (SURVEY.md section 7 step 4 'ray
+    # sorting/compaction'). None = auto: on for scenes too large for the
+    # dense panel/mega paths, off otherwise.
+    sort_rays: Optional[bool] = None
     # float dtype for the compute path.
     dtype: str = "float32"
 

@@ -32,10 +32,63 @@ from ..config import RenderConfig
 from ..models.scene import Scene
 from . import rng
 from .brdf import sample_brdf
+from .bvh import morton3d
 from .intersect import Hit
 from .lights import direct_light
 from .linalg import dot
 from .shading import build_shading_table, hit_attributes
+
+# Scenes above this size run cluster-culled intersection kernels whose
+# packet AABB rejection needs spatially coherent 128-lane packets —
+# the auto threshold for cfg.sort_rays (matches
+# ops/pallas/intersect.FLAT_PANEL_MAX_TRIS).
+SORT_RAYS_MIN_TRIS = 2048
+
+
+def _ray_sort_keys(o: jax.Array, d: jax.Array, lo: jax.Array,
+                   hi: jax.Array) -> jax.Array:
+    """uint32 coherence key: 3-bit direction octant (high bits) then the
+    top 27 bits of the origin's 30-bit Morton code. Rays sharing a key
+    prefix start near each other and head the same way — exactly what
+    packet-wise cluster culling wants."""
+    octant = ((d[:, 0] > 0).astype(jnp.uint32) * 4
+              + (d[:, 1] > 0).astype(jnp.uint32) * 2
+              + (d[:, 2] > 0).astype(jnp.uint32))
+    m = morton3d((o - lo) / jnp.maximum(hi - lo, 1e-12))
+    return (octant << 29) | (m >> 3)
+
+
+def _sorted_wavefront(scene: Scene, intersect_fn, occluder_fn):
+    """Wrap the intersectors to run on a coherence-sorted permutation of
+    the wavefront, scattering results back to ray order. Per-ray values
+    are unchanged (each lane's result depends only on its own ray); only
+    the 128-lane packet composition the Pallas kernels see changes."""
+    g = scene.geometry
+    pts = jnp.concatenate([g.v0, g.v1, g.v2], axis=0)
+    lo = jax.lax.stop_gradient(jnp.min(pts, axis=0))
+    hi = jax.lax.stop_gradient(jnp.max(pts, axis=0))
+
+    def sort_perm(o, d):
+        keys = _ray_sort_keys(jax.lax.stop_gradient(o),
+                              jax.lax.stop_gradient(d), lo, hi)
+        return jnp.argsort(keys)
+
+    def closest(o, d):
+        perm = sort_perm(o, d)
+        h = intersect_fn(o[perm], d[perm])
+        unscatter = lambda x: jnp.zeros_like(x).at[perm].set(x)
+        return Hit(t=unscatter(h.t), tri_idx=unscatter(h.tri_idx),
+                   hit=unscatter(h.hit))
+
+    if occluder_fn is None:
+        return closest, None
+
+    def any_hit(o, d, t_limit):
+        perm = sort_perm(o, d)
+        blocked = occluder_fn(o[perm], d[perm], t_limit[perm])
+        return jnp.zeros_like(blocked).at[perm].set(blocked)
+
+    return closest, any_hit
 
 
 def trace_paths(
@@ -57,6 +110,11 @@ def trace_paths(
         occ = None
     else:
         occ = occluder_fn
+
+    sort_on = (cfg.sort_rays if cfg.sort_rays is not None
+               else scene.num_triangles > SORT_RAYS_MIN_TRIS)
+    if sort_on:
+        intersect_fn, occ = _sorted_wavefront(scene, intersect_fn, occ)
 
     # All per-hit attributes come from one fused table fetch (see
     # ops/shading.py) instead of the reference's pointer chases.

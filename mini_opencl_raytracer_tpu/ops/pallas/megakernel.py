@@ -63,7 +63,7 @@ from ...config import RenderConfig
 from ...models.scene import Lights, Materials, Geometry, Scene
 
 _LANES = 128
-_ROWS = 8                      # ray rows per grid step (rays = _ROWS*128)
+_ROWS = 16                     # ray rows per grid step (rays = _ROWS*128)
 _TILE = _ROWS * _LANES
 _MAX_TRIS = 2048               # VMEM-resident scene limit for this path
 _TRI_BLOCK = 64                # triangles per [TB, ROWS, 128] M-T panel

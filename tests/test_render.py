@@ -104,6 +104,21 @@ def test_shadow_rays_darken(cornell):
     assert (i_sh <= i_ns + 1e-5).mean() > 0.99
 
 
+def test_sorted_wavefront_identical():
+    """cfg.sort_rays permutes only the packet layout: per-ray radiance
+    must be bit-identical with sorting on and off (the sorted wavefront
+    is scattered back to ray order before shading)."""
+    import mini_opencl_raytracer_tpu.models.procedural as proc
+    scene = proc.bunny_scene(target_tris=4000)  # small but > sort threshold
+    cam = mrt.Camera.default()
+    kw = dict(width=16, height=16, bounces=2, backend="bvh")
+    i0 = np.asarray(mrt.render_sample(
+        scene, cam, mrt.RenderConfig(sort_rays=False, **kw)))
+    i1 = np.asarray(mrt.render_sample(
+        scene, cam, mrt.RenderConfig(sort_rays=True, **kw)))
+    np.testing.assert_array_equal(i0, i1)
+
+
 def test_swizzle_roundtrip():
     """Tile swizzle and unswizzle must be exact inverses: tracing pixel
     ids through the swizzled pipeline reproduces the identity image."""
