@@ -10,20 +10,24 @@ stack is replaced by a *packet* scheme shaped for the VPU:
   grouped into **super-clusters** of ``SUPER`` consecutive clusters.
   Both levels carry AABBs — a 3-level implicit hierarchy with fanouts
   (SUPER, CLUSTER), built with pure jnp sorts/reductions on device.
-* The kernel processes rays 128 at a time (one lane each). For each
-  128-ray packet it slab-tests *all* super-cluster AABBs as a dense
-  [S, 128] panel, reduces over lanes to a per-super "any ray hits" mask,
-  and only descends into supers the packet touches; the same predicated
-  descent happens for clusters, and surviving clusters run the dense
-  [CLUSTER, 128] Moller-Trumbore panel of the flat kernel.
+* The kernel runs ONE descent per grid step of _ROWS x 128 rays
+  (flattened into lanes). It slab-tests *all* super-cluster AABBs as a
+  dense [S, TILE] panel with per-lane current-best t bounds, reduces to
+  a per-super "any ray hits" mask, and only descends into supers the
+  tile touches; the same predicated descent happens for clusters, and
+  each surviving cluster is DMA'd from HBM as its limb-packed M-T row
+  block (megakernel.mt_limb_rows) and intersected with ONE
+  [4*CLUSTER, 128] @ [128, TILE] MXU pass — f32-accurate
+  Moller-Trumbore determinants at single-pass cost, with only the sign
+  tests and the closest reduction on the VPU.
 * Control flow is scalar (fori + pl.when on mask scalars read back from
   VMEM scratch) — the TPU analog of the reference's stack, except one
-  decision serves 128 rays instead of one.
+  decision serves a whole ray tile instead of one ray.
 
-Coherent packets (primary rays, shadow rays to one light) visit few
-clusters; incoherent bounce packets degrade toward brute force — ray
-sorting between bounces is the planned mitigation (SURVEY.md section 7,
-step 4 'minimizing wasted lanes via ray sorting/compaction').
+Coherent tiles (primary rays, shadow rays to one light) visit few
+clusters; incoherent bounce wavefronts are re-sorted by direction
+octant + origin Morton key between bounces (ops/integrator, enabled by
+cfg.sort_rays) so their tiles stay compact too.
 """
 
 from __future__ import annotations
@@ -40,14 +44,17 @@ from ...config import RenderConfig
 from ...models.scene import Geometry
 from ..bvh import morton3d
 from ..intersect import Hit
+from . import megakernel as mk
 
 _LANES = 128
-_ROWS = 8            # ray rows per grid step
+_ROWS = 16           # ray rows per grid step (one descent per 2048 rays)
 _TILE = _LANES * _ROWS
-CLUSTER = 64         # triangles per cluster (leaf panel height)
+CLUSTER = 128        # triangles per cluster (M-T matmul block)
 SUPER = 64           # clusters per super-cluster
+_MTG_LANES = 128     # limb-table lanes (96 used, padded to a lane tile)
 
 _BIG = 3.0e38
+_DET_EPS = 1e-10
 
 
 def _interpret() -> bool:
@@ -61,7 +68,8 @@ def _ceil_to(x: int, m: int) -> int:
 class ClusteredGeometry(NamedTuple):
     """Device-resident, Morton-ordered, padded acceleration layout."""
 
-    tri: jax.Array          # [T_pad, 16] v0/e1/e2 columns (panel layout)
+    mtg: jax.Array          # [4*T_pad, 128] bf16 limb-packed M-T rows
+                            # (megakernel.mt_limb_rows, block = CLUSTER)
     cl_aabb: jax.Array      # [C_pad, 8] cluster lo.xyz, hi.xyz
     sup_aabb: jax.Array     # [S_pad, 8] super-cluster lo.xyz, hi.xyz
     slot_to_tri: jax.Array  # [T_pad] int32 -> original triangle index
@@ -128,15 +136,12 @@ def build_clusters(geometry: Geometry,
     pv0, pv1, pv2 = take_pad(v0), take_pad(v1), take_pad(v2)
     slot_to_tri = jnp.where(valid, order, 0)
 
-    # Lane dim padded to 128 so cluster DMA slices are tile-aligned
-    # (Mosaic requires dim-1 slices in multiples of 128).
-    tri = jnp.zeros((T_pad, 128), jnp.float32)
-    tri = tri.at[:, 0:3].set(pv0)
-    # Padding rows: v0 = BIG but e1 = e2 = 0 -> det == 0 -> never hit.
+    # Padding rows: e1 = e2 = 0 -> zero M-T rows -> det == 0 -> no hit.
+    # (v0 is also zeroed so the v0 x e / v0 . n products stay finite.)
     e1 = jnp.where(real, pv1 - pv0, 0.0)
     e2 = jnp.where(real, pv2 - pv0, 0.0)
-    tri = tri.at[:, 3:6].set(e1)
-    tri = tri.at[:, 6:9].set(e2)
+    mtg = mk.mt_limb_rows(jnp.where(real, pv0, 0.0), e1, e2,
+                          tb=CLUSTER, lane_pad=_MTG_LANES)
     t_lo = jnp.where(real, jnp.minimum(jnp.minimum(pv0, pv1), pv2), _BIG)
     t_hi = jnp.where(real, jnp.maximum(jnp.maximum(pv0, pv1), pv2), -_BIG)
 
@@ -167,7 +172,7 @@ def build_clusters(geometry: Geometry,
         return out
 
     return ClusteredGeometry(
-        tri=tri,
+        mtg=mtg,
         cl_aabb=pack_aabb(cl_lo, cl_hi),
         sup_aabb=pack_aabb(sup_lo, sup_hi),
         slot_to_tri=slot_to_tri.astype(jnp.int32),
@@ -208,63 +213,74 @@ def _aabb_cols(ref, start, n):
 NSLOTS = 16
 
 
-def _clustered_kernel(sup_ref, cl_ref, tri_ref,
+def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tin_ref, tout_ref, idx_ref,
-                      mask_scratch, best_scratch, tri_scratch, slot_tbl,
+                      mask_scratch, best_scratch, blk_scratch, slot_tbl,
                       dma_sems,
                       *, num_supers: int, backface_cull: bool):
-    """Grid step: ROWS x 128 rays, packet descent over supers/clusters.
+    """Grid step: ONE descent for the whole _ROWS x 128 ray tile (rays
+    flattened into 2048 lanes), Moller-Trumbore determinants on the MXU.
 
-    ``tri_ref`` lives in HBM (a large scene cannot be VMEM-resident).
-    Per visited super the kernel (a) slab-tests all SUPER cluster AABBs
-    as one panel, (b) assigns DMA slots to hit clusters with a vector
-    cumsum, (c) launches up to NSLOTS async copies back-to-back, then
-    (d) drains them in order, intersecting each [CLUSTER, 128] block as
-    its copy lands — DMA latency hides behind the previous block's
-    Moller-Trumbore panel. Slot overflow falls back to serial fetches.
+    ``mtg_ref`` (the limb-packed M-T table, megakernel.mt_limb_rows)
+    lives in HBM — a large scene cannot be VMEM-resident. Per visited
+    super the kernel (a) slab-tests all SUPER cluster AABBs as one
+    [SUPER, TILE] panel, (b) assigns DMA slots to hit clusters with a
+    vector cumsum, (c) launches up to NSLOTS async copies back-to-back,
+    then (d) drains them in order; each landed [4*CLUSTER, 128] bf16
+    block is one K=128 MXU pass against the tile's limb-packed ray
+    features, leaving the VPU the sign tests + closest reduction
+    (exactly megakernel._mt_closest's epilogue). Scalar descent
+    decisions are amortized over 2048 rays instead of 128.
 
     mask_scratch column map: 0 = super any-hit counts, 1 = cluster
     any-hit counts (current super), 2 = cluster DMA slot ids,
     ``slot_tbl`` (SMEM) maps DMA slot -> cluster index within the super.
     """
     tri_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CLUSTER, _LANES), 0).astype(jnp.float32)
+        jnp.int32, (CLUSTER, _TILE), 0).astype(jnp.float32)
 
-    def intersect_block(buf, base_f, dx, dy, dz, ox, oy, oz):
-        v0x = buf[:, 0:1]
-        v0y = buf[:, 1:2]
-        v0z = buf[:, 2:3]
-        e1x = buf[:, 3:4]
-        e1y = buf[:, 4:5]
-        e1z = buf[:, 5:6]
-        e2x = buf[:, 6:7]
-        e2y = buf[:, 7:8]
-        e2z = buf[:, 8:9]
+    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])       # [ROWS, 128] tiles
+    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+    F_limbs = mk._mt_features(o3, d3, k_pad=_MTG_LANES)  # [128, TILE]
 
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
+    def flat(ref):
+        return ref[:].reshape(1, _TILE)
+
+    ox, oy, oz = flat(ox_ref), flat(oy_ref), flat(oz_ref)
+    dx, dy, dz = flat(dx_ref), flat(dy_ref), flat(dz_ref)
+    eps = 1e-20
+    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx, eps)
+    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy, eps)
+    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz, eps)
+
+    t_init = flat(tin_ref)
+    best_scratch[0:1, :] = t_init
+    best_scratch[1:2, :] = jnp.full((1, _TILE), -1.0, jnp.float32)
+
+    def intersect_block(buf, base_f):
+        """One cluster's M-T against every ray in the tile: a single
+        [4*CLUSTER, 128] @ [128, TILE] MXU pass + masked closest update
+        of best_scratch (rows 0 = t, 1 = winner slot index)."""
+        res = jax.lax.dot_general(
+            buf, F_limbs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [4*CLUSTER, TILE]
+        det = res[0 * CLUSTER:1 * CLUSTER]
+        ud = res[1 * CLUSTER:2 * CLUSTER]
+        vd = res[2 * CLUSTER:3 * CLUSTER]
+        td = res[3 * CLUSTER:4 * CLUSTER]
         if backface_cull:
-            dvalid = det > 1e-10
+            det_s, ud_s, vd_s, td_s = det, ud, vd, td
         else:
-            dvalid = jnp.abs(det) > 1e-10
-        inv_det = 1.0 / jnp.where(dvalid, det, 1.0)
-
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            det_s, ud_s, vd_s, td_s = (det * sgn, ud * sgn, vd * sgn,
+                                       td * sgn)
+        dvalid = det_s > _DET_EPS
+        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
+        tt = td_s * inv
         t_best = best_scratch[0:1, :]
-        ok = (dvalid & (u >= 0.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (tt > 0.0) & (tt < t_best))
+        ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
+              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < t_best))
         tt = jnp.where(ok, tt, _BIG)
         t_blk = jnp.min(tt, axis=0, keepdims=True)
         win = tt <= t_blk
@@ -275,117 +291,97 @@ def _clustered_kernel(sup_ref, cl_ref, tri_ref,
         best_scratch[1:2, :] = jnp.where(
             better, i_blk + base_f, best_scratch[1:2, :])
 
-    def process_row(r, _):
-        ox = ox_ref[pl.ds(r, 1), :]
-        oy = oy_ref[pl.ds(r, 1), :]
-        oz = oz_ref[pl.ds(r, 1), :]
-        dx = dx_ref[pl.ds(r, 1), :]
-        dy = dy_ref[pl.ds(r, 1), :]
-        dz = dz_ref[pl.ds(r, 1), :]
-        eps = 1e-20
-        ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx, eps)
-        iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy, eps)
-        iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz, eps)
+    # Level 0: all super-cluster AABBs vs the tile, each lane bounded by
+    # its own t_init (per-ray culling).
+    sup_hit = _slab_panel(
+        _aabb_cols(sup_ref, 0, num_supers),
+        ox, oy, oz, ix, iy, iz, t_init)              # [S, TILE]
+    mask_scratch[pl.ds(0, num_supers), 0:1] = jnp.sum(
+        sup_hit.astype(jnp.float32), axis=1, keepdims=True)
 
-        t_init = tin_ref[pl.ds(r, 1), :]
-        best_scratch[0:1, :] = t_init
-        best_scratch[1:2, :] = jnp.full((1, _LANES), -1.0, jnp.float32)
+    def super_body(s, _):
+        @pl.when(mask_scratch[s, 0] > 0.0)
+        def _():
+            # Per-lane current-best bound (kernel_bvh.cl:167): rays that
+            # already found a nearer hit stop opening clusters behind
+            # it, independently of the other lanes.
+            t_far = best_scratch[0:1, :]
+            cl_hit = _slab_panel(
+                _aabb_cols(cl_ref, s * SUPER, SUPER),
+                ox, oy, oz, ix, iy, iz, t_far)       # [SUPER, TILE]
+            hits_f = jnp.any(cl_hit, axis=1,
+                             keepdims=True).astype(jnp.float32)
+            mask_scratch[pl.ds(0, SUPER), 1:2] = hits_f
+            # Vector slot assignment: slot_j = #hits before j —
+            # exclusive prefix sum as a strictly-lower-triangular
+            # matmul (cumsum has no Mosaic lowering).
+            row = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 1)
+            tril = (row > col).astype(jnp.float32)
+            slots = jnp.dot(tril, hits_f,
+                            preferred_element_type=jnp.float32)
+            mask_scratch[pl.ds(0, SUPER), 2:3] = jnp.where(
+                hits_f > 0.0, slots, -1.0)
 
-        # Level 0: all super-cluster AABBs vs this packet, each lane
-        # bounded by its own t_init (per-ray culling).
-        sup_hit = _slab_panel(
-            _aabb_cols(sup_ref, 0, num_supers),
-            ox, oy, oz, ix, iy, iz, t_init)          # [S, 128]
-        mask_scratch[pl.ds(0, num_supers), 0:1] = jnp.sum(
-            sup_hit.astype(jnp.float32), axis=1, keepdims=True)
-
-        def super_body(s, _):
-            @pl.when(mask_scratch[s, 0] > 0.0)
-            def _():
-                # Per-lane current-best bound (kernel_bvh.cl:167): rays
-                # that already found a nearer hit stop opening clusters
-                # behind it, independently of the other 127 lanes.
-                t_far = best_scratch[0:1, :]
-                cl_hit = _slab_panel(
-                    _aabb_cols(cl_ref, s * SUPER, SUPER),
-                    ox, oy, oz, ix, iy, iz, t_far)   # [SUPER, 128]
-                hits_f = jnp.any(cl_hit, axis=1,
-                                 keepdims=True).astype(jnp.float32)
-                mask_scratch[pl.ds(0, SUPER), 1:2] = hits_f
-                # Vector slot assignment: slot_j = #hits before j —
-                # exclusive prefix sum as a strictly-lower-triangular
-                # matmul (cumsum has no Mosaic lowering).
-                row = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 1)
-                tril = (row > col).astype(jnp.float32)
-                slots = jnp.dot(tril, hits_f,
-                                preferred_element_type=jnp.float32)
-                mask_scratch[pl.ds(0, SUPER), 2:3] = jnp.where(
-                    hits_f > 0.0, slots, -1.0)
-
-                # Pass A: launch DMAs for slotted hit clusters; record
-                # slot -> cluster id (scalar f32 cells in column 3).
-                def launch(j, _):
-                    slot_f = mask_scratch[j, 2]
-                    @pl.when((slot_f >= 0.0)
-                             & (slot_f < float(NSLOTS)))
-                    def _():
-                        slot = slot_f.astype(jnp.int32)
-                        base = (s * SUPER + j) * CLUSTER
-                        pltpu.make_async_copy(
-                            tri_ref.at[pl.ds(base, CLUSTER), :],
-                            tri_scratch.at[slot],
-                            dma_sems.at[slot]).start()
-                        slot_tbl[slot] = j
-                    return 0
-                jax.lax.fori_loop(0, SUPER, launch, 0)
-
-                # Pass B: drain slots in order, intersecting as copies
-                # land.
-                n_hit = jnp.sum(hits_f).astype(jnp.int32)
-                def drain(k, _):
-                    @pl.when(k < n_hit)
-                    def _():
-                        j = slot_tbl[k]
-                        base = (s * SUPER + j) * CLUSTER
-                        pltpu.make_async_copy(
-                            tri_ref.at[pl.ds(base, CLUSTER), :],
-                            tri_scratch.at[k],
-                            dma_sems.at[k]).wait()
-                        intersect_block(tri_scratch[k],
-                                        jnp.float32(base),
-                                        dx, dy, dz, ox, oy, oz)
-                    return 0
-                jax.lax.fori_loop(0, min(NSLOTS, SUPER), drain, 0)
-
-                # Pass C: slot overflow (> NSLOTS hit clusters) —
-                # serial fetch + intersect; rare for coherent packets.
-                @pl.when(n_hit > NSLOTS)
+            # Pass A: launch DMAs for slotted hit clusters; record
+            # slot -> cluster id.
+            def launch(j, _):
+                slot_f = mask_scratch[j, 2]
+                @pl.when((slot_f >= 0.0)
+                         & (slot_f < float(NSLOTS)))
                 def _():
-                    def leftover(j, _):
-                        @pl.when(mask_scratch[j, 2] >= float(NSLOTS))
-                        def _():
-                            base = (s * SUPER + j) * CLUSTER
-                            dma = pltpu.make_async_copy(
-                                tri_ref.at[pl.ds(base, CLUSTER), :],
-                                tri_scratch.at[0],
-                                dma_sems.at[0])
-                            dma.start()
-                            dma.wait()
-                            intersect_block(tri_scratch[0],
-                                            jnp.float32(base),
-                                            dx, dy, dz, ox, oy, oz)
-                        return 0
-                    jax.lax.fori_loop(0, SUPER, leftover, 0)
-            return 0
+                    slot = slot_f.astype(jnp.int32)
+                    base = (s * SUPER + j) * 4 * CLUSTER
+                    pltpu.make_async_copy(
+                        mtg_ref.at[pl.ds(base, 4 * CLUSTER), :],
+                        blk_scratch.at[slot],
+                        dma_sems.at[slot]).start()
+                    slot_tbl[slot] = j
+                return 0
+            jax.lax.fori_loop(0, SUPER, launch, 0)
 
-        jax.lax.fori_loop(0, num_supers, super_body, 0)
+            # Pass B: drain slots in order, intersecting as copies land.
+            n_hit = jnp.sum(hits_f).astype(jnp.int32)
+            def drain(k, _):
+                @pl.when(k < n_hit)
+                def _():
+                    j = slot_tbl[k]
+                    base = (s * SUPER + j) * 4 * CLUSTER
+                    pltpu.make_async_copy(
+                        mtg_ref.at[pl.ds(base, 4 * CLUSTER), :],
+                        blk_scratch.at[k],
+                        dma_sems.at[k]).wait()
+                    intersect_block(blk_scratch[k],
+                                    jnp.float32((s * SUPER + j) * CLUSTER))
+                return 0
+            jax.lax.fori_loop(0, min(NSLOTS, SUPER), drain, 0)
 
-        tout_ref[pl.ds(r, 1), :] = best_scratch[0:1, :]
-        idx_ref[pl.ds(r, 1), :] = best_scratch[1:2, :].astype(jnp.int32)
+            # Pass C: slot overflow (> NSLOTS hit clusters) — serial
+            # fetch + intersect; rare for coherent packets.
+            @pl.when(n_hit > NSLOTS)
+            def _():
+                def leftover(j, _):
+                    @pl.when(mask_scratch[j, 2] >= float(NSLOTS))
+                    def _():
+                        base = (s * SUPER + j) * 4 * CLUSTER
+                        dma = pltpu.make_async_copy(
+                            mtg_ref.at[pl.ds(base, 4 * CLUSTER), :],
+                            blk_scratch.at[0],
+                            dma_sems.at[0])
+                        dma.start()
+                        dma.wait()
+                        intersect_block(
+                            blk_scratch[0],
+                            jnp.float32((s * SUPER + j) * CLUSTER))
+                    return 0
+                jax.lax.fori_loop(0, SUPER, leftover, 0)
         return 0
 
-    jax.lax.fori_loop(0, _ROWS, process_row, 0)
+    jax.lax.fori_loop(0, num_supers, super_body, 0)
+
+    tout_ref[:] = best_scratch[0:1, :].reshape(_ROWS, _LANES)
+    idx_ref[:] = (best_scratch[1:2, :].reshape(_ROWS, _LANES)
+                  .astype(jnp.int32))
 
 
 def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
@@ -415,7 +411,8 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
         kernel,
         grid=grid,
         in_specs=[full(cg.sup_aabb.shape), full(cg.cl_aabb.shape),
-                  # Triangles stay in HBM; clusters are DMA'd on demand.
+                  # M-T limb rows stay in HBM; clusters are DMA'd on
+                  # demand.
                   pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
@@ -424,13 +421,14 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
         ),
         scratch_shapes=[
             pltpu.VMEM((max(S_rows, SUPER), 8), jnp.float32),  # masks
-            pltpu.VMEM((8, _LANES), jnp.float32),              # best t/idx
-            pltpu.VMEM((NSLOTS, CLUSTER, 128), jnp.float32),   # tri blocks
+            pltpu.VMEM((8, _TILE), jnp.float32),               # best t/idx
+            pltpu.VMEM((NSLOTS, 4 * CLUSTER, _MTG_LANES),
+                       jnp.bfloat16),                          # M-T blocks
             pltpu.SMEM((NSLOTS,), jnp.int32),                  # slot table
             pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
         interpret=_interpret(),
-    )(cg.sup_aabb, cg.cl_aabb, cg.tri, *comps)
+    )(cg.sup_aabb, cg.cl_aabb, cg.mtg, *comps)
     return t_out.reshape(-1)[:R], idx_out.reshape(-1)[:R]
 
 

@@ -275,16 +275,42 @@ def _mt_block_pad(T: int) -> int:
     return _ceil_to(T, _MT_BLOCK)
 
 
+def mt_limb_rows(v0: jax.Array, e1: jax.Array, e2: jax.Array,
+                 tb: int, lane_pad: int = _MT_LIMB_K) -> jax.Array:
+    """[4 * T, lane_pad] bf16 limb-packed M-T rows from (already padded
+    and ordered) triangle arrays; T must be a multiple of ``tb``.
+
+    Row layout is block-major so a kernel slices one triangle block's
+    4*tb rows contiguously: for each block of tb triangles — tb det
+    rows, tb ud rows, tb vd rows, tb td rows. Degenerate (all-zero or
+    zero-edge) padding triangles produce all-zero rows -> det == 0 ->
+    rejected by the epilogue's |det| test. Columns beyond _MT_LIMB_K are
+    zero so callers may pad K to a full lane tile and matmul with a
+    zero-extended feature matrix."""
+    T = v0.shape[0]
+    n = jnp.cross(e1, e2)
+    rows = jnp.zeros((4, T, _MT_K), jnp.float32)
+    rows = rows.at[0, :, 0:3].set(-n)                     # det: d part
+    rows = rows.at[1, :, 0:3].set(jnp.cross(v0, e2))      # ud: d part
+    rows = rows.at[1, :, 3:6].set(e2)                     # ud: (o x d)
+    rows = rows.at[2, :, 0:3].set(-jnp.cross(v0, e1))     # vd: d part
+    rows = rows.at[2, :, 3:6].set(-e1)                    # vd: (o x d)
+    rows = rows.at[3, :, 6:9].set(n)                      # td: o part
+    rows = rows.at[3, :, 9].set(-jnp.sum(v0 * n, axis=1))  # td: const
+    blocked = (rows.reshape(4, T // tb, tb, _MT_K)
+               .transpose(1, 0, 2, 3).reshape(4 * T, _MT_K))
+    g0, g1, g2 = _split3_bf16(blocked, barrier=True)
+    limbs = [g0, g1, g2]
+    out = jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS], axis=1)
+    if lane_pad > _MT_LIMB_K:
+        out = jnp.pad(out, ((0, 0), (0, lane_pad - _MT_LIMB_K)))
+    return out
+
+
 def build_mt_table(geometry: Geometry) -> jax.Array:
     """[4 * T_pad, 96] bf16 limb-packed M-T table (non-differentiable;
     closest-hit selection is a discrete choice — gradients flow through
-    the winner replay, not the selection, SURVEY.md section 7 step 5).
-
-    Row layout is block-major so the kernel slices one triangle block's
-    4*TB rows contiguously: for each block of TB triangles — TB det
-    rows, TB ud rows, TB vd rows, TB td rows. Padding triangles are
-    all-zero -> det == 0 -> rejected by the epilogue's |det| test.
-    """
+    the winner replay, not the selection, SURVEY.md section 7 step 5)."""
     g = geometry
     v0 = jax.lax.stop_gradient(g.v0).astype(jnp.float32)
     e1 = jax.lax.stop_gradient(g.v1).astype(jnp.float32) - v0
@@ -292,38 +318,35 @@ def build_mt_table(geometry: Geometry) -> jax.Array:
     T = v0.shape[0]
     T_pad = _mt_block_pad(T)
     tb = min(T_pad, _MT_BLOCK)
-    n = jnp.cross(e1, e2)
-    rows = jnp.zeros((4, T_pad, _MT_K), jnp.float32)
-    rows = rows.at[0, :T, 0:3].set(-n)                     # det: d part
-    rows = rows.at[1, :T, 0:3].set(jnp.cross(v0, e2))      # ud: d part
-    rows = rows.at[1, :T, 3:6].set(e2)                     # ud: (o x d)
-    rows = rows.at[2, :T, 0:3].set(-jnp.cross(v0, e1))     # vd: d part
-    rows = rows.at[2, :T, 3:6].set(-e1)                    # vd: (o x d)
-    rows = rows.at[3, :T, 6:9].set(n)                      # td: o part
-    rows = rows.at[3, :T, 9].set(-jnp.sum(v0 * n, axis=1))  # td: const
-    # Block-major rows: [n_blocks, 4, TB, K] -> [4 * T_pad, K].
-    blocked = (rows.reshape(4, T_pad // tb, tb, _MT_K)
-               .transpose(1, 0, 2, 3).reshape(4 * T_pad, _MT_K))
-    g0, g1, g2 = _split3_bf16(blocked, barrier=True)
-    limbs = [g0, g1, g2]
-    return jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS], axis=1)
+    pad = ((0, T_pad - T), (0, 0))
+    return mt_limb_rows(jnp.pad(v0, pad), jnp.pad(e1, pad),
+                        jnp.pad(e2, pad), tb)
 
 
-def _mt_features(o3, d3):
-    """Limb-packed ray-feature matrix [_MT_LIMB_K, _TILE] bf16 for the
-    M-T matmul (rays flattened into lanes)."""
-    def flat(x):                       # [ROWS, 128] -> [1, ROWS*128]
-        return x.reshape(1, _TILE)
+def _mt_features(o3, d3, k_pad: int = _MT_LIMB_K):
+    """Limb-packed ray-feature matrix [k_pad, tile] bf16 for the M-T
+    matmul; rays arrive as [rows, 128] component tiles and are flattened
+    into lanes. Rows beyond _MT_LIMB_K are zero (for K padded to a full
+    lane tile)."""
+    tile = o3[0].shape[0] * o3[0].shape[1]
+
+    def flat(x):                       # [rows, 128] -> [1, rows*128]
+        return x.reshape(1, tile)
 
     c3 = _cross3(o3, d3)
-    one = jnp.ones((1, _TILE), jnp.float32)
-    zero6 = jnp.zeros((_MT_K - 10, _TILE), jnp.float32)
+    one = jnp.ones((1, tile), jnp.float32)
+    zero6 = jnp.zeros((_MT_K - 10, tile), jnp.float32)
     F = jnp.concatenate(
         [flat(d3[0]), flat(d3[1]), flat(d3[2]),
          flat(c3[0]), flat(c3[1]), flat(c3[2]),
          flat(o3[0]), flat(o3[1]), flat(o3[2]), one, zero6], axis=0)
     fl = _split3_bf16(F)
-    return jnp.concatenate([fl[j] for _, j in _LIMB_PAIRS], axis=0)
+    out = jnp.concatenate([fl[j] for _, j in _LIMB_PAIRS], axis=0)
+    if k_pad > _MT_LIMB_K:
+        out = jnp.concatenate(
+            [out, jnp.zeros((k_pad - _MT_LIMB_K, tile), jnp.bfloat16)],
+            axis=0)
+    return out
 
 
 def _mt_block_dets(g_ref, b: int, tb: int, F_limbs, backface_cull: bool):

@@ -115,8 +115,11 @@ def test_clustered_matches_bruteforce():
     ch = clustered.intersect_clustered(o, d, cg, t_max=1e5)
     np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ch.hit))
     m = np.asarray(brute.hit)
+    # The MXU bilinear M-T's t error is absolute (~2^-24 * |o.n| / det),
+    # so tiny-t hits need an atol; selection uses the same values on
+    # both sides and shading recomputes t on the winner exactly.
     np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ch.t)[m],
-                               rtol=1e-5)
+                               rtol=1e-5, atol=5e-4)
     np.testing.assert_array_equal(np.asarray(brute.tri_idx)[m],
                                   np.asarray(ch.tri_idx)[m])
 
@@ -136,7 +139,7 @@ def test_clustered_sah_layout_matches():
     np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ch.hit))
     m = np.asarray(brute.hit)
     np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ch.t)[m],
-                               rtol=1e-5)
+                               rtol=1e-5, atol=5e-4)
 
 
 def test_clustered_occlusion():
