@@ -38,7 +38,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--bounces", type=int, default=9)
     p.add_argument("--frames", type=int, default=16,
-                   help="progressive samples to accumulate")
+                   help="progressive samples to accumulate; 0 = refine "
+                        "until interrupted (Ctrl-C writes the image)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bruteforce", "bvh", "pallas", "mega"])
     p.add_argument("--fov", type=float, default=45.0)
@@ -80,8 +81,23 @@ def cmd_render(args) -> int:
         state = ckpt.load_render_state(args.resume, state)
         start = int(state.num_samples)
         print(f"resumed at {start} samples", file=sys.stderr)
-    for f in range(start, start + args.frames):
-        state = accumulate(state, sample(scene, camera, f))
+    # --frames 0: refine until interrupted — the reference's progressive
+    # window UX (accumulate until the user acts, CLui.cpp:204-266 /
+    # CLEngineBase.cpp:192-210), headless: Ctrl-C stops and the image is
+    # written; periodic checkpoints make the run resumable.
+    endless = args.frames == 0
+    end = start + (args.frames if not endless else 1 << 62)
+    f = start
+    try:
+        while f < end:
+            state = accumulate(state, sample(scene, camera, f))
+            f += 1
+            if (endless and args.checkpoint
+                    and f % args.checkpoint_every == 0):
+                ckpt.save_render_state(args.checkpoint, state)
+                print(f"{f} samples (checkpointed)", file=sys.stderr)
+    except KeyboardInterrupt:
+        print(f"interrupted at {f} samples", file=sys.stderr)
     img = to_image(state, cfg.gamma)
     if args.checkpoint:
         ckpt.save_render_state(args.checkpoint, state)
@@ -105,6 +121,11 @@ def cmd_benchmark(args) -> int:
     m.update(backend=resolve_backend(scene, cfg), width=cfg.width,
              height=cfg.height, bounces=cfg.bounces,
              triangles=scene.num_triangles)
+    if args.occupancy:
+        from .utils.metrics import bounce_occupancy
+        occ = bounce_occupancy(scene, camera, cfg)
+        m["live_ray_fraction_per_bounce"] = [
+            round(float(x), 4) for x in occ]
     print(json.dumps(m))
     return 0
 
@@ -146,11 +167,15 @@ def main(argv=None) -> int:
                     help="save progressive state to this .npz")
     pr.add_argument("--resume", default=None,
                     help="resume progressive state from this .npz")
+    pr.add_argument("--checkpoint-every", type=int, default=64,
+                    help="checkpoint interval (frames) when --frames 0")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("benchmark", help="measure rays/s")
     _add_render_args(pb)
     pb.add_argument("--iters", type=int, default=5)
+    pb.add_argument("--occupancy", action="store_true",
+                    help="also report per-bounce live-ray fractions")
     pb.set_defaults(fn=cmd_benchmark)
 
     po = sub.add_parser("optimize", help="material optimization demo")
@@ -160,7 +185,11 @@ def main(argv=None) -> int:
     po.set_defaults(fn=cmd_optimize)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    # Typed device-error decoding (the reference's CLException ->
+    # MessageBox path, CLEngineBase.cpp:181-185): recognized runtime
+    # failures surface with the framework-level remedy attached.
+    from .utils.errors import run_decoded
+    return run_decoded(lambda: args.fn(args))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,12 @@ class RenderConfig:
     # Probability of choosing the specular lobe per bounce
     # (kernel_bvh.cl:294-302: 50/50 russian roulette between lobes).
     specular_prob: float = 0.5
+    # Specular microfacet distribution: "blinn" (the spec-cleaned default
+    # — the reference's sampler is a self-described hack, ops/brdf.py) or
+    # "ggx" — the reference's actual GGX D-term (DistributionGGX,
+    # kernel_bvh.cl:221-225) with matched GGX half-vector sampling; the
+    # MTL Ns exponent maps to perceptual roughness r = sqrt(2/(Ns+2)).
+    specular_model: str = "blinn"
     # Soft-visibility relaxation bandwidth (barycentric units) for
     # silhouette gradients. 0 (default) = hard visibility, exactly the
     # reference's semantics; > 0 blends each hit's contribution with the

@@ -122,9 +122,53 @@ def sample_specular(wo: jax.Array, normal: jax.Array, specular: jax.Array,
     return BrdfSample(wi=wi, f=f, pdf=pdf, valid=valid)
 
 
+def sample_specular_ggx(wo: jax.Array, normal: jax.Array,
+                        specular: jax.Array, ns: jax.Array,
+                        u1: jax.Array, u2: jax.Array) -> BrdfSample:
+    """True GGX lobe: the reference's actual distribution term
+    (DistributionGGX, kernel_bvh.cl:221-225 — D = a^2 / (pi ((n.h)^2
+    (a^2 - 1) + 1)^2) with a = roughness^2) paired with the matching
+    GGX half-vector sampler the reference lacks. The MTL Ns exponent
+    maps to perceptual roughness r = sqrt(2/(Ns+2)) (the inverse of the
+    Blinn mapping in sample_specular), Smith G and Schlick F as there.
+    """
+    r = jnp.sqrt(2.0 / (jnp.maximum(ns, 0.0) + 2.0))
+    a = r * r
+    a2 = jnp.maximum(a * a, 1e-12)
+    phi = _TWO_PI * u1
+    u2c = jnp.clip(u2, 0.0, 1.0 - 1e-7)
+    # GGX NDF inversion: cos^2(theta_h) = (1 - u) / (1 + (a^2 - 1) u).
+    cos_h2 = (1.0 - u2c) / (1.0 + (a2 - 1.0) * u2c)
+    cos_h = jnp.sqrt(jnp.clip(cos_h2, 0.0, 1.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h2, 0.0))
+    s, t = build_onb(normal)
+    wh = spherical_dir(s, t, normal, phi, sin_h, cos_h)
+    wi = reflect(wo, wh)
+
+    cos_i = dot(wi, normal)
+    cos_o = dot(wo, normal)
+    same_hemi = (cos_i * cos_o) >= 1e-6
+
+    dd = cos_h2 * (a2 - 1.0) + 1.0
+    d_ndf = a2 * _INV_PI / jnp.maximum(dd * dd, 1e-12)
+    pdf_h = d_ndf * cos_h
+    wo_dot_wh = jnp.maximum(dot(wo, wh), 0.0)
+    pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
+
+    g = _smith_g(normal, wo, wi, r)
+    fr = fresnel_schlick(jnp.float32(0.04), wo_dot_wh)
+    denom = 4.0 * jnp.maximum(cos_i, 0.0) * jnp.maximum(cos_o, 0.0) + 1e-3
+    f = specular * (d_ndf * g * fr / denom)[..., None]
+
+    valid = same_hemi & (pdf > 0.0) & (wo_dot_wh > 0.0)
+    f = jnp.where(valid[..., None], f, 0.0)
+    return BrdfSample(wi=wi, f=f, pdf=pdf, valid=valid)
+
+
 def sample_brdf(wo: jax.Array, normal: jax.Array, diffuse: jax.Array,
                 specular: jax.Array, ns: jax.Array, seeds: jax.Array,
-                bounce, specular_prob: float = 0.5) -> BrdfSample:
+                bounce, specular_prob: float = 0.5,
+                specular_model: str = "blinn") -> BrdfSample:
     """50/50 lobe russian roulette (SampleBrdf, kernel_bvh.cl:294-302),
     expressed branch-free with lane selects for the VPU."""
     u_lobe = rng.uniform(seeds, rng.bounce_site(bounce, rng.SITE_LOBE))
@@ -136,7 +180,10 @@ def sample_brdf(wo: jax.Array, normal: jax.Array, diffuse: jax.Array,
     su2 = rng.uniform(seeds, rng.bounce_site(bounce, rng.SITE_SPEC_COS))
 
     diff = sample_diffuse(normal, diffuse, du1, du2)
-    spec = sample_specular(wo, normal, specular, ns, su1, su2)
+    if specular_model == "ggx":
+        spec = sample_specular_ggx(wo, normal, specular, ns, su1, su2)
+    else:
+        spec = sample_specular(wo, normal, specular, ns, su1, su2)
 
     sel = pick_spec[..., None]
     return BrdfSample(

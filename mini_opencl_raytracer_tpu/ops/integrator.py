@@ -99,11 +99,43 @@ def trace_paths(
     seeds: jax.Array,       # [R] uint32 per-pixel seeds
     intersect_fn: Callable[[jax.Array, jax.Array], Hit],
     occluder_fn: Optional[Callable] = None,
+    with_stats: bool = False,
 ) -> jax.Array:
-    """Trace one wavefront for ``cfg.bounces`` bounces -> radiance [R, 3]."""
+    """Trace one wavefront for ``cfg.bounces`` bounces -> radiance [R, 3].
+
+    ``with_stats=True`` additionally returns a per-bounce live-ray
+    fraction vector [bounces] (the wavefront-occupancy observability the
+    reference's FPS counter couldn't offer — utils/metrics.py)."""
     R = origins.shape[0]
     dtype = cfg.jnp_dtype()
+    step = make_bounce_step(scene, cfg, intersect_fn, occluder_fn,
+                            with_stats=with_stats)
+    init = (
+        origins,
+        directions,
+        jnp.ones((R, 3), dtype),
+        jnp.zeros((R, 3), dtype),
+        jnp.ones((R,), bool),
+        seeds,
+    )
+    (_, _, _, radiance, _, _), stats = jax.lax.scan(
+        step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
+    # Final clamp (kernel_bvh.cl:383).
+    radiance = jnp.maximum(radiance, 0.0)
+    if with_stats:
+        return radiance, stats
+    return radiance
 
+
+def make_bounce_step(scene: Scene, cfg: RenderConfig, intersect_fn,
+                     occluder_fn=None, with_stats: bool = False):
+    """Build the per-bounce transition of the reference recurrence
+    (Render, kernel_bvh.cl:349-384) as a ``lax.scan``-shaped step:
+    carry = (o, d, beta, radiance, alive, seeds), x = global bounce
+    index. Shared by trace_paths (all bounces on one device) and
+    parallel/pipeline (bounce segments as pipeline stages). Applies
+    cfg.remat and the coherence-sorting wrapper (cfg.sort_rays)."""
+    dtype = cfg.jnp_dtype()
     sky = jnp.asarray(cfg.sky_color, dtype) * cfg.skybox_intensity
 
     if not cfg.shadow_rays:
@@ -121,7 +153,7 @@ def trace_paths(
     st = build_shading_table(scene.geometry, scene.materials)
 
     def bounce_step(carry, bounce):
-        o, d, beta, radiance, alive = carry
+        o, d, beta, radiance, alive, seeds = carry
 
         hit = intersect_fn(o, d)
         at = hit_attributes(o, d, hit, st, backface_cull=cfg.backface_cull,
@@ -147,7 +179,8 @@ def trace_paths(
 
         wo = -d
         sample = sample_brdf(wo, at.normal, at.kd, at.ks, at.ns, seeds,
-                             bounce, specular_prob=cfg.specular_prob)
+                             bounce, specular_prob=cfg.specular_prob,
+                             specular_model=cfg.specular_model)
 
         cos_i = dot(sample.wi, at.normal)
         pdf_safe = jnp.where(sample.pdf > 0.0, sample.pdf, 1.0)
@@ -172,21 +205,11 @@ def trace_paths(
         o_next = jnp.where(alive_next[:, None],
                            at.pos + sample.wi * cfg.ray_epsilon, o)
         d_next = jnp.where(alive_next[:, None], sample.wi, d)
-        return (o_next, d_next, beta_new, radiance, alive_next), None
+        stat = jnp.mean(alive_next.astype(dtype)) if with_stats else None
+        return (o_next, d_next, beta_new, radiance, alive_next, seeds), stat
 
-    init = (
-        origins,
-        directions,
-        jnp.ones((R, 3), dtype),
-        jnp.zeros((R, 3), dtype),
-        jnp.ones((R,), bool),
-    )
     # Remat each bounce so reverse-mode stores only the small scan carry
     # per bounce instead of every intermediate panel (HBM is the scarce
     # resource; intersection recompute is cheap — SURVEY.md 'use
     # jax.checkpoint to trade FLOPs for memory').
-    step = jax.checkpoint(bounce_step) if cfg.remat else bounce_step
-    (_, _, _, radiance, _), _ = jax.lax.scan(
-        step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
-    # Final clamp (kernel_bvh.cl:383).
-    return jnp.maximum(radiance, 0.0)
+    return jax.checkpoint(bounce_step) if cfg.remat else bounce_step

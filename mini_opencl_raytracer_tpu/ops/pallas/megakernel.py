@@ -63,7 +63,8 @@ from ...config import RenderConfig
 from ...models.scene import Lights, Materials, Geometry, Scene
 
 _LANES = 128
-_ROWS = 16                     # ray rows per grid step (rays = _ROWS*128)
+_ROWS = 64                     # ray rows per grid step (rays = _ROWS*128)
+# (swept 16/32/64/128 on v5e at 1080p: 387/402/409/407 Mrays/s fwd+bwd)
 _TILE = _ROWS * _LANES
 _MAX_TRIS = 2048               # VMEM-resident scene limit for this path
 _TRI_BLOCK = 64                # triangles per [TB, ROWS, 128] M-T panel
@@ -576,7 +577,8 @@ def _spherical_dir(s, t, n, phi, sin_theta, cos_theta):
     ))
 
 
-def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob):
+def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
+                 specular_model: str = "blinn"):
     """ops/brdf.sample_brdf (kernel_bvh.cl:221-302), SoA in-kernel.
     ``cms``: [_NUM_SITES, ROWS, 128] pre-mixed counter tiles."""
     u_lobe = _uniform_cm(seeds, cms[_SITE_LOBE])
@@ -597,25 +599,47 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob):
     d_f = _scale3(kd, jnp.float32(_INV_PI))
     d_valid = d_pdf > 0.0
 
-    # Blinn specular lobe (SampleSpecular/SampleGGX, kernel_bvh.cl:227-292,
-    # spec-cleaned per ops/brdf.py).
     alpha = jnp.maximum(ns, 0.0)
     s_phi = _TWO_PI * su1
-    u2c = jnp.clip(su2, 1e-12, 1.0)
-    cos_h = jnp.exp(jnp.log(u2c) / (alpha + 1.0))
-    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
-    wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
-    s_wi = _reflect3(wo, wh)
-    cos_i = _dot3(s_wi, normal)
-    cos_o = _dot3(wo, normal)
-    same_hemi = (cos_i * cos_o) >= 1e-6
-    cosn = jnp.power(cos_h, alpha)
-    d_ndf = (alpha + 2.0) * jnp.float32(0.5 * _INV_PI) * cosn
-    pdf_h = (alpha + 1.0) * jnp.float32(0.5 * _INV_PI) * cosn
-    wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
-    s_pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
+    if specular_model == "ggx":
+        # True GGX lobe (ops/brdf.sample_specular_ggx; D from
+        # DistributionGGX, kernel_bvh.cl:221-225).
+        rr = jnp.sqrt(2.0 / (alpha + 2.0))
+        ag = rr * rr
+        a2 = jnp.maximum(ag * ag, 1e-12)
+        u2c = jnp.clip(su2, 0.0, 1.0 - 1e-7)
+        cos_h2 = (1.0 - u2c) / (1.0 + (a2 - 1.0) * u2c)
+        cos_h = jnp.sqrt(jnp.clip(cos_h2, 0.0, 1.0))
+        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h2, 0.0))
+        wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
+        s_wi = _reflect3(wo, wh)
+        cos_i = _dot3(s_wi, normal)
+        cos_o = _dot3(wo, normal)
+        same_hemi = (cos_i * cos_o) >= 1e-6
+        dd = cos_h2 * (a2 - 1.0) + 1.0
+        d_ndf = a2 * jnp.float32(_INV_PI) / jnp.maximum(dd * dd, 1e-12)
+        pdf_h = d_ndf * cos_h
+        wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
+        s_pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
+        r = rr + 1.0
+    else:
+        # Blinn specular lobe (SampleSpecular/SampleGGX,
+        # kernel_bvh.cl:227-292, spec-cleaned per ops/brdf.py).
+        u2c = jnp.clip(su2, 1e-12, 1.0)
+        cos_h = jnp.exp(jnp.log(u2c) / (alpha + 1.0))
+        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+        wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
+        s_wi = _reflect3(wo, wh)
+        cos_i = _dot3(s_wi, normal)
+        cos_o = _dot3(wo, normal)
+        same_hemi = (cos_i * cos_o) >= 1e-6
+        cosn = jnp.power(cos_h, alpha)
+        d_ndf = (alpha + 2.0) * jnp.float32(0.5 * _INV_PI) * cosn
+        pdf_h = (alpha + 1.0) * jnp.float32(0.5 * _INV_PI) * cosn
+        wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
+        s_pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
+        r = jnp.sqrt(2.0 / (alpha + 2.0)) + 1.0
     # Smith G with the reference's k mapping (kernel_bvh.cl:241-257).
-    r = jnp.sqrt(2.0 / (alpha + 2.0)) + 1.0
     k = (r * r) / 8.0
     ndotv = jnp.maximum(cos_o, 0.0)
     ndotl = jnp.maximum(cos_i, 0.0)
@@ -745,7 +769,8 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 
     wo = _neg3(d3)
     wi, f, pdf, valid = _sample_brdf(wo, normal, at.kd, at.ks, at.ns,
-                                     seeds, cms, cfg.specular_prob)
+                                     seeds, cms, cfg.specular_prob,
+                                     specular_model=cfg.specular_model)
     cos_i = _dot3(wi, normal)
     pdf_safe = jnp.where(pdf > 0.0, pdf, 1.0)
     scale = cos_i / pdf_safe

@@ -167,6 +167,83 @@ def ring_intersect(o: jax.Array, d: jax.Array, scene: Scene,
     return Hit(t=t_, tri_idx=idx_, hit=hit_ > 0)
 
 
+def a2a_intersect(o: jax.Array, d: jax.Array, scene: Scene,
+                  cfg: RenderConfig, tp_axis: str,
+                  backend: str = "bruteforce") -> Hit:
+    """Ulysses-style closest hit with geometry sharded over ``tp_axis``.
+
+    The all-to-all alternative to ring_intersect (SURVEY.md section 2
+    'Ulysses-style all-to-all'): instead of P-1 neighbor hops of the ray
+    state, ONE collective round re-shards the wavefront from
+    "shard by pixel" to "replicated" (all_gather over ICI), every chip
+    intersects the full wavefront against its resident geometry shard,
+    and the per-ray closest hit is min-combined with pmin/pmax (the
+    reduce-scatter back to pixel owners is a local slice of the
+    replicated reduction). Same total intersection work as the ring;
+    latency-bound workloads trade P-1 small sends for one big one.
+    """
+    tp = jax.lax.axis_size(tp_axis)
+    my = jax.lax.axis_index(tp_axis)
+    geo_shard, per = _shard_geometry(scene.geometry, tp, my)
+    closest, _ = make_intersectors(scene.replace(geometry=geo_shard), cfg,
+                                   backend=backend)
+
+    o_all = jax.lax.all_gather(o, tp_axis, axis=0, tiled=True)
+    d_all = jax.lax.all_gather(d, tp_axis, axis=0, tiled=True)
+    h = closest(o_all, d_all)
+
+    t = jnp.where(h.hit, h.t, jnp.float32(cfg.t_max))
+    t_min = jax.lax.pmin(t, tp_axis)
+    hit_any = jax.lax.pmax(h.hit.astype(jnp.int32), tp_axis) > 0
+    # Winner = any shard achieving the min t (ties resolved to the
+    # largest global index — deterministic across runs).
+    cand = h.hit & (t <= t_min)
+    idx_min = jax.lax.pmax(
+        jnp.where(cand, h.tri_idx + my * per, -1), tp_axis)
+
+    R_l = o.shape[0]
+    sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                           start_index=my * R_l, slice_size=R_l, axis=0)
+    return Hit(t=sl(t_min), tri_idx=jnp.maximum(sl(idx_min), 0),
+               hit=sl(hit_any))
+
+
+def render_sample_a2a(scene: Scene, camera: Camera, cfg: RenderConfig,
+                      mesh: Mesh, frame=0,
+                      mesh_cfg: MeshConfig = MeshConfig()) -> jax.Array:
+    """render_sample_ring's all-to-all sibling: pixels sharded over
+    ``dp``, geometry sharded over ``tp``, traversal via a2a_intersect."""
+    R = cfg.num_pixels
+    dp = mesh.shape[mesh_cfg.dp_axis]
+    if R % dp:
+        raise ValueError(f"pixels {R} not divisible by dp={dp}")
+    pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+    backend = resolve_backend(scene, cfg)
+    if backend == "mega":
+        backend = "pallas"
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(mesh_cfg.dp_axis), P(), P()),
+        out_specs=P(mesh_cfg.dp_axis),
+        check_vma=False)
+    def body(ids_shard, scene_rep, camera_rep):
+        closest = functools.partial(a2a_intersect, scene=scene_rep,
+                                    cfg=cfg, tp_axis=mesh_cfg.tp_axis,
+                                    backend=backend)
+
+        def any_hit(o, d, t_limit):
+            h = closest(o, d)
+            return h.hit & (h.t < t_limit)
+
+        seeds = rng.pixel_seeds(ids_shard, jnp.uint32(frame))
+        o, d = generate_rays(camera_rep, cfg, ids_shard, seeds)
+        return trace_paths(scene_rep, cfg, o, d, seeds, closest, any_hit)
+
+    radiance = jax.jit(body)(pixel_ids, scene, camera)
+    return radiance.reshape(cfg.height, cfg.width, 3)
+
+
 def render_sample_ring(scene: Scene, camera: Camera, cfg: RenderConfig,
                        mesh: Mesh, frame=0,
                        mesh_cfg: MeshConfig = MeshConfig()) -> jax.Array:

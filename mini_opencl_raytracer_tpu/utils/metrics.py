@@ -25,6 +25,27 @@ def time_fn(f: Callable[[], Any], iters: int = 5, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def bounce_occupancy(scene, camera, cfg, frame: int = 0):
+    """Per-bounce live-ray fractions [bounces] — wavefront occupancy
+    observability (how much of each bounce's lockstep work is wasted on
+    dead lanes). Runs the jnp integrator with stats on the configured
+    wavefront backend."""
+    import jax.numpy as jnp
+
+    from ..ops import rng
+    from ..ops.camera import generate_rays
+    from ..ops.integrator import trace_paths
+    from ..render import make_intersectors
+
+    closest, any_hit = make_intersectors(scene, cfg)
+    pix = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    seeds = rng.pixel_seeds(pix, jnp.uint32(frame))
+    o, d = generate_rays(camera, cfg, pix, seeds)
+    _, stats = trace_paths(scene, cfg, o, d, seeds, closest, any_hit,
+                           with_stats=True)
+    return stats
+
+
 def render_metrics(seconds_per_frame: float, width: int, height: int,
                    bounces: int, spp: int = 1) -> Dict[str, float]:
     """Structured throughput record for one render configuration.

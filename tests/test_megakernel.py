@@ -68,6 +68,19 @@ def test_forward_directional_and_multi_light(cornell):
     np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
 
 
+def test_ggx_specular_matches_bruteforce(cornell):
+    """specular_model='ggx' (the reference's true GGX D-term,
+    kernel_bvh.cl:221-225) must agree across backends and differ from
+    the Blinn default."""
+    kw = dict(bounces=2, specular_model="ggx", specular_prob=0.7)
+    img_b = np.asarray(render_sample(cornell, CAM, _cfg("bruteforce", **kw)))
+    img_m = np.asarray(render_sample(cornell, CAM, _cfg("mega", **kw)))
+    np.testing.assert_allclose(img_m, img_b, atol=2e-5, rtol=1e-4)
+    img_blinn = np.asarray(render_sample(
+        cornell, CAM, _cfg("bruteforce", bounces=2, specular_prob=0.7)))
+    assert np.abs(img_b - img_blinn).mean() > 1e-4
+
+
 def test_eligibility_gate(cornell):
     assert mk.eligible(cornell, _cfg("mega"))
     assert mk.eligible(cornell, _cfg("mega", shadow_rays=True))

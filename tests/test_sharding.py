@@ -10,7 +10,8 @@ from jax.sharding import Mesh
 import mini_opencl_raytracer_tpu as mrt
 from mini_opencl_raytracer_tpu.config import MeshConfig
 from mini_opencl_raytracer_tpu.parallel import mesh as mesh_mod
-from mini_opencl_raytracer_tpu.parallel.shard import (render_sample_dp,
+from mini_opencl_raytracer_tpu.parallel.shard import (render_sample_a2a,
+                                                      render_sample_dp,
                                                       render_sample_ring)
 
 CFG = mrt.RenderConfig(width=32, height=32, bounces=2,
@@ -51,6 +52,16 @@ def test_ring_tp4(cornell, reference_image):
     np.testing.assert_allclose(img, reference_image, rtol=1e-4, atol=1e-4)
 
 
+def test_a2a_sharded_matches_single(cornell, reference_image):
+    """Ulysses-style all-to-all traversal (all_gather rays + local shard
+    intersect + pmin/pmax combine) matches the single-device render."""
+    mesh_cfg = MeshConfig(dp=2, tp=4)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_a2a(cornell, CAM, CFG, mesh,
+                                       mesh_cfg=mesh_cfg))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-4, atol=1e-4)
+
+
 def test_ring_bvh_backend(cornell, reference_image):
     """Geometry-sharded ring traversal with the real LBVH backend per
     shard (round-2 verdict #4: non-oracle backends under distribution)."""
@@ -85,6 +96,18 @@ def test_dp_honors_spp(cornell):
     img = np.asarray(render_sample_dp(cornell, CAM, cfg, mesh,
                                       mesh_cfg=mesh_cfg))
     np.testing.assert_allclose(img, single, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_matches_single(cornell, reference_image):
+    """GPipe-style bounce pipeline (parallel/pipeline.py): 2 stages x
+    1 bounce each, 4 microbatches — must reproduce the single-device
+    render exactly (same transitions, same RNG, partitioned in time)."""
+    import numpy as np_
+    from jax.sharding import Mesh as Mesh_
+    from mini_opencl_raytracer_tpu.parallel.pipeline import render_sample_pp
+    mesh = Mesh_(np_.asarray(jax.devices()[:2]), ("pp",))
+    img = np.asarray(render_sample_pp(cornell, CAM, CFG, mesh, n_micro=4))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_gradients_match(cornell):

@@ -99,3 +99,35 @@ def test_cli_render_and_resume(tmp_path):
                         capture_output=True, text=True, timeout=900)
     assert r2.returncode == 0, r2.stderr
     assert "resumed at 2 samples" in r2.stderr
+
+
+def test_decode_error_classes():
+    """Typed device-error layer (utils/errors.py): common runtime
+    failures map to actionable typed exceptions; unknown ones pass
+    through."""
+    from mini_opencl_raytracer_tpu.utils import errors
+
+    e = errors.decode_error(RuntimeError(
+        "RESOURCE_EXHAUSTED: Allocation (size=68719476736) would exceed "
+        "memory (size=17179869184)"))
+    assert isinstance(e, errors.DeviceOutOfMemoryError)
+    e = errors.decode_error(RuntimeError(
+        "Mosaic failed to compile TPU kernel: infer-vector-layout"))
+    assert isinstance(e, errors.KernelCompileError)
+    assert errors.decode_error(ValueError("plain bug")) is None
+    with pytest.raises(errors.DeviceOutOfMemoryError):
+        errors.run_decoded(lambda: (_ for _ in ()).throw(
+            RuntimeError("Out of memory while trying to allocate")))
+
+
+def test_bounce_occupancy():
+    """Per-bounce live-ray fractions: finite, in [0,1], monotone
+    non-increasing (paths only die, kernel_bvh.cl:371-372)."""
+    from mini_opencl_raytracer_tpu.utils.metrics import bounce_occupancy
+    scene = mrt.cornell_scene()
+    cfg = mrt.RenderConfig(width=16, height=16, bounces=3,
+                           backend="bruteforce", ray_chunk=256)
+    occ = np.asarray(bounce_occupancy(scene, mrt.Camera.default(), cfg))
+    assert occ.shape == (3,)
+    assert ((occ >= 0) & (occ <= 1)).all()
+    assert (np.diff(occ) <= 1e-6).all()
