@@ -131,6 +131,36 @@ def test_sharded_gradients_match(cornell):
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
 
 
+def test_ep_material_routing():
+    """MoE-style expert-parallel material routing (parallel/expert.py):
+    rays all-to-all'd to their material's owning device, shaded against
+    that device's local material shard, routed home — must equal the
+    plain local computation."""
+    from jax.sharding import Mesh as Mesh_
+    from mini_opencl_raytracer_tpu.parallel.expert import ep_shade_demo
+
+    ep = 4
+    mesh = Mesh_(np.asarray(jax.devices()[:ep]), ("ep",))
+    r = np.random.default_rng(0)
+    R, M = 512, 11
+    pos = jnp.asarray(r.uniform(-5, 5, size=(R, 3)).astype(np.float32))
+    nrm = r.normal(size=(R, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = jnp.asarray(nrm)
+    mi = jnp.asarray(r.integers(0, M, size=(R,)).astype(np.int32))
+    kd = jnp.asarray(r.uniform(size=(M, 3)).astype(np.float32))
+    lpos = jnp.asarray(np.array([0.0, -10.0, 16.0], np.float32))
+
+    out = np.asarray(ep_shade_demo(pos, nrm, mi, kd, lpos, mesh))
+    # Local oracle.
+    to_l = np.asarray(lpos)[None, :] - np.asarray(pos)
+    dist2 = np.maximum((to_l * to_l).sum(1), 1e-12)
+    lu = to_l / np.sqrt(dist2)[:, None]
+    ndotl = np.maximum((np.asarray(nrm) * lu).sum(1), 0.0)
+    ref = np.asarray(kd)[np.asarray(mi)] * (ndotl / dist2)[:, None]
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
