@@ -78,8 +78,11 @@ def _smith_g(n, v, l, perceptual_roughness):
 
 
 def fresnel_schlick(f0, cos_i):
-    """FresnelSchlick (kernel_bvh.cl:259-262)."""
-    return f0 + (1.0 - f0) * jnp.power(jnp.maximum(1.0 - cos_i, 0.0), 5.0)
+    """FresnelSchlick (kernel_bvh.cl:259-262). x^5 as three multiplies —
+    a float-exponent pow lowers to exp/log on the VPU."""
+    x = jnp.maximum(1.0 - cos_i, 0.0)
+    x2 = x * x
+    return f0 + (1.0 - f0) * (x2 * x2 * x)
 
 
 def sample_specular(wo: jax.Array, normal: jax.Array, specular: jax.Array,
@@ -95,7 +98,8 @@ def sample_specular(wo: jax.Array, normal: jax.Array, specular: jax.Array,
     phi = _TWO_PI * u1
     # cos(theta_h) = u2^(1/(alpha+1)) — Blinn sampling (kernel_bvh.cl:231).
     u2c = jnp.clip(u2, 1e-12, 1.0)
-    cos_h = jnp.exp(jnp.log(u2c) / (alpha + 1.0))
+    log_u2 = jnp.log(u2c)
+    cos_h = jnp.exp(log_u2 / (alpha + 1.0))
     sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
     s, t = build_onb(normal)
     wh = spherical_dir(s, t, normal, phi, sin_h, cos_h)
@@ -106,7 +110,9 @@ def sample_specular(wo: jax.Array, normal: jax.Array, specular: jax.Array,
     # Same-hemisphere test (kernel_bvh.cl:278).
     same_hemi = (cos_i * cos_o) >= 1e-6
 
-    cosn = jnp.power(cos_h, alpha)  # cos^alpha(theta_h)
+    # cos^alpha(theta_h) = exp(alpha/(alpha+1) log u2) — reuses the
+    # sampling log instead of a second pow's exp+log pair.
+    cosn = jnp.exp(log_u2 * (alpha / (alpha + 1.0)))
     d_ndf = (alpha + 2.0) * (0.5 * _INV_PI) * cosn
     pdf_h = (alpha + 1.0) * (0.5 * _INV_PI) * cosn
     wo_dot_wh = jnp.maximum(dot(wo, wh), 0.0)

@@ -626,14 +626,16 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
         # Blinn specular lobe (SampleSpecular/SampleGGX,
         # kernel_bvh.cl:227-292, spec-cleaned per ops/brdf.py).
         u2c = jnp.clip(su2, 1e-12, 1.0)
-        cos_h = jnp.exp(jnp.log(u2c) / (alpha + 1.0))
+        log_u2 = jnp.log(u2c)
+        cos_h = jnp.exp(log_u2 / (alpha + 1.0))
         sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
         wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
         s_wi = _reflect3(wo, wh)
         cos_i = _dot3(s_wi, normal)
         cos_o = _dot3(wo, normal)
         same_hemi = (cos_i * cos_o) >= 1e-6
-        cosn = jnp.power(cos_h, alpha)
+        # exp-reuse of the sampling log (see ops/brdf.sample_specular).
+        cosn = jnp.exp(log_u2 * (alpha / (alpha + 1.0)))
         d_ndf = (alpha + 2.0) * jnp.float32(0.5 * _INV_PI) * cosn
         pdf_h = (alpha + 1.0) * jnp.float32(0.5 * _INV_PI) * cosn
         wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
@@ -644,7 +646,9 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
     ndotv = jnp.maximum(cos_o, 0.0)
     ndotl = jnp.maximum(cos_i, 0.0)
     g = (ndotv / (ndotv * (1.0 - k) + k)) * (ndotl / (ndotl * (1.0 - k) + k))
-    fr = 0.04 + 0.96 * jnp.power(jnp.maximum(1.0 - wo_dot_wh, 0.0), 5.0)
+    frx = jnp.maximum(1.0 - wo_dot_wh, 0.0)
+    frx2 = frx * frx
+    fr = 0.04 + 0.96 * (frx2 * frx2 * frx)
     denom = 4.0 * ndotl * ndotv + 1e-3
     s_scale = d_ndf * g * fr / denom
     s_valid = same_hemi & (s_pdf > 0.0) & (wo_dot_wh > 0.0)
