@@ -5,7 +5,8 @@ Cornell box. 'rays' = width * height * bounces per frame (one ray per
 pixel per bounce, the reference's work-item-per-pixel workload,
 CLRaytracer.cpp:53, extended over the bounce loop). The measured step is
 jit(value_and_grad) of the mean rendered radiance w.r.t. the float scene
-leaves — i.e. a full differentiable render step, not just forward.
+leaves — a full differentiable render step on the auto-resolved backend
+(the fused bounce megakernel for Cornell), not just forward.
 
 vs_baseline is measured against the driver-set north-star target of
 1e9 rays/s/chip (the reference publishes no numbers — BASELINE.md).

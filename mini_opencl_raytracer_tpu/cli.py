@@ -8,7 +8,7 @@ optimization loop of BASELINE.json config 4.
 
     python -m mini_opencl_raytracer_tpu.cli render --out img.png
     python -m mini_opencl_raytracer_tpu.cli render --scene mesh.obj \\
-        --width 1920 --height 1080 --frames 64 --backend pallas
+        --width 1920 --height 1080 --frames 64 --backend auto
     python -m mini_opencl_raytracer_tpu.cli benchmark --width 1920 \\
         --height 1080 --bounces 9
     python -m mini_opencl_raytracer_tpu.cli optimize --steps 50

@@ -170,7 +170,8 @@ def _mix_u32(x):
 
 def _uniform(seeds, counter):
     """[0,1) f32 panel for draw site ``counter`` (python int or traced
-    i32 scalar) — identical sequence to ops/rng.uniform."""
+    i32 scalar) — identical sequence to ops/rng.uniform (the basis of the
+    cross-backend RNG-equality test)."""
     if isinstance(counter, (int, np.integer)):
         cm = np.uint32(_premixed_counter(counter))
     else:
