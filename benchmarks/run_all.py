@@ -109,7 +109,7 @@ def main() -> int:
                     default=[1, 2, 3, 4, 5])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--backend", default="auto")
     args = ap.parse_args()
     iters = 2 if args.quick else args.iters
 

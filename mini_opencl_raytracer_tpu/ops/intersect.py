@@ -36,7 +36,17 @@ _DET_EPS = 1e-10
 @struct.dataclass
 class Hit:
     """Closest-hit record (analog of IntersectData, kernel_bvh.cl:18-27,
-    minus the ray, which callers already have)."""
+    minus the ray, which callers already have).
+
+    Precision contract for ``t``: backends that compute the M-T
+    determinants on the MXU via the limb-packed bf16 bilinear form
+    (``pallas`` clustered, ``mega``) report ``t`` with an ABSOLUTE error
+    of ~2^-24 * |o . n| / det — near-exact f32 at unit world scale, but
+    the *relative* error grows for tiny-t hits in large-coordinate
+    scenes. Winner selection is unaffected (all candidates share the
+    error scale); consumers needing exact t (e.g. custom any-hit bounds)
+    should recompute it on the winning triangle (ops/shading
+    .hit_attributes does)."""
 
     t: jax.Array        # [R] hit distance (t_max where miss)
     tri_idx: jax.Array  # [R] int32 triangle index (0 where miss)

@@ -46,6 +46,16 @@ RNG is the same counter-based lowbias32 hash as ops/rng.py with the
 identical draw-site layout, so the megakernel's radiance matches the
 jnp integrator (ops/integrator.trace_paths) to float tolerance on every
 backend — the basis of the cross-backend allclose tests.
+
+Numerical error model of the MXU M-T path: the limb split carries the
+full f32 product, so det/ud/vd/td match an f32 evaluation to ~1 ulp,
+but the derived ``t = td/det`` carries an ABSOLUTE error of roughly
+``2^-24 * |o . n| / det`` — for hits at tiny t the *relative* t error
+can be large when the scene's world coordinates are big. Winner
+*selection* is unaffected in practice (all candidates share the error
+scale) and shading recomputes (t, u, v) exactly on the winner
+(_winner_point), so images are exact-f32; only raw ``t`` consumers see
+the absolute tolerance (tests use atol 5e-4 at Cornell world scale).
 """
 
 from __future__ import annotations
@@ -166,20 +176,6 @@ def _mix_u32(x):
     x = x * _M2
     x = x ^ (x >> 16)
     return x
-
-
-def _uniform(seeds, counter):
-    """[0,1) f32 panel for draw site ``counter`` (python int or traced
-    i32 scalar) — identical sequence to ops/rng.uniform (the basis of the
-    cross-backend RNG-equality test)."""
-    if isinstance(counter, (int, np.integer)):
-        cm = np.uint32(_premixed_counter(counter))
-    else:
-        cm = _mix_u32(counter.astype(jnp.uint32)) + _GOLDEN
-    bits = _mix_u32(seeds ^ cm)
-    # Mosaic has no u32->f32 cast; bits >> 8 < 2^24 fits i32 exactly.
-    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
-            * jnp.float32(1.0 / (1 << 24)))
 
 
 # raygen consumes sites 0-1 (ops/rng.py RAYGEN_DRAWS); bounce sites follow.

@@ -122,6 +122,16 @@ def ep_shade_demo(positions: jax.Array, normals: jax.Array,
             return kd * (ndotl / dist2)[:, None]
 
         res = ep_route(payload, owner, ep_axis, capacity, shade_local, 3)
-        return res.values
+        # Capacity-overflow fallback (module docstring contract): rays
+        # the dispatch dropped are shaded locally against the replicated
+        # table instead of silently going black.
+        kd_full = jnp.take(mats, jnp.clip(mi_s.astype(jnp.int32), 0, M - 1),
+                           axis=0)
+        to_l = lpos[None, :] - pos_s
+        dist2 = jnp.maximum(jnp.sum(to_l * to_l, axis=1), 1e-12)
+        l_unit = to_l / jnp.sqrt(dist2)[:, None]
+        ndotl = jnp.maximum(jnp.sum(n_s * l_unit, axis=1), 0.0)
+        local = kd_full * (ndotl / dist2)[:, None]
+        return jnp.where(res.routed[:, None], res.values, local)
 
     return body(positions, normals, mat_idx, materials_diffuse, light_pos)

@@ -195,11 +195,14 @@ def a2a_intersect(o: jax.Array, d: jax.Array, scene: Scene,
     t = jnp.where(h.hit, h.t, jnp.float32(cfg.t_max))
     t_min = jax.lax.pmin(t, tp_axis)
     hit_any = jax.lax.pmax(h.hit.astype(jnp.int32), tp_axis) > 0
-    # Winner = any shard achieving the min t (ties resolved to the
-    # largest global index — deterministic across runs).
+    # Winner = any shard achieving the min t; exact-t ties resolve to the
+    # SMALLEST global index, matching ring_intersect and the
+    # single-device brute path on coplanar/shared-edge geometry.
     cand = h.hit & (t <= t_min)
-    idx_min = jax.lax.pmax(
-        jnp.where(cand, h.tri_idx + my * per, -1), tp_axis)
+    big = jnp.int32(2**31 - 1)
+    idx_min = jax.lax.pmin(
+        jnp.where(cand, h.tri_idx + my * per, big), tp_axis)
+    idx_min = jnp.where(hit_any, idx_min, -1)
 
     R_l = o.shape[0]
     sl = functools.partial(jax.lax.dynamic_slice_in_dim,

@@ -43,10 +43,11 @@ def resolve_backend(scene: Scene, cfg: RenderConfig) -> str:
     """Resolve ``cfg.backend`` to a concrete backend for ``scene``.
 
     ``auto`` picks the fused megakernel when ``megakernel.eligible()``
-    holds (VMEM-resident scene, f32, no shadow rays) and the Pallas
-    wavefront pipeline otherwise. An explicit ``mega`` request likewise
-    falls back to ``pallas`` for ineligible scenes, per the megakernel
-    docstring contract.
+    holds (VMEM-resident scene, f32, <= 30 lights; shadow rays are
+    supported via in-kernel any-hit passes) and the Pallas wavefront
+    pipeline otherwise. An explicit ``mega`` request likewise falls back
+    to ``pallas`` for ineligible scenes, per the megakernel docstring
+    contract.
     """
     if cfg.backend in ("auto", "mega"):
         return "mega" if mega_mod.eligible(scene, cfg) else "pallas"

@@ -57,10 +57,21 @@ _CLASSIFIERS = (
 )
 
 
+def _is_runtime_exc(exc: BaseException) -> bool:
+    """Only classify exception types the JAX/XLA runtime actually
+    raises (XlaRuntimeError/JaxRuntimeError subclass RuntimeError;
+    sharding/backend misuse arrives as ValueError/RuntimeError) — an
+    arbitrary application error whose *message* happens to mention
+    'sharding' must not be rewrapped and truncated."""
+    return isinstance(exc, (RuntimeError, ValueError, OSError))
+
+
 def decode_error(exc: BaseException) -> RaytracerError | None:
     """Map a raw runtime exception to a typed RaytracerError (or None if
     unrecognized). The original exception should be chained by the
     caller (``raise decoded from exc``)."""
+    if isinstance(exc, RaytracerError) or not _is_runtime_exc(exc):
+        return None
     msg = str(exc)
     for needles, cls in _CLASSIFIERS:
         if any(n in msg for n in needles):

@@ -172,16 +172,15 @@ def test_multibounce_kd_grad_fd(cornell):
 
 
 def test_mega_rng_matches_reference_sites():
-    """The in-kernel counter hash must equal ops/rng.uniform bit-for-bit
-    (static and traced counters)."""
+    """The in-kernel counter hash (_uniform_cm over host-premixed
+    counters, the draw path the kernels actually use) must equal
+    ops/rng.uniform bit-for-bit."""
     seeds = jnp.arange(256, dtype=jnp.uint32) * jnp.uint32(2654435761)
     for bounce in (0, 3):
         for site in (0, 4):
             counter = int(rng.bounce_site(bounce, site))
             ref = rng.uniform(seeds, counter)
-            got_static = mk._uniform(seeds, counter)
-            got_traced = mk._uniform(seeds, jnp.int32(counter))
-            np.testing.assert_array_equal(np.asarray(ref),
-                                          np.asarray(got_static))
-            np.testing.assert_array_equal(np.asarray(ref),
-                                          np.asarray(got_traced))
+            cm = jnp.full_like(seeds, np.uint32(
+                mk._premixed_counter(counter)))
+            got = mk._uniform_cm(seeds, cm)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
