@@ -212,6 +212,17 @@ def _aabb_cols(ref, start, n):
 # overlap within a super (NSLOTS x [CLUSTER, 128] f32 = 512 KB VMEM).
 NSLOTS = 16
 
+# Ray-compaction granularity: the 2048-lane tile is split into _GROUPS
+# static sub-tiles of _GLANES lanes; each visited cluster's MXU pass and
+# closest-hit epilogue run ONLY for sub-tiles whose slab test hit that
+# cluster (per-cluster ray compaction, the packet analog of the
+# reference's per-ray traversal early-out, kernel_bvh.cl:199-208).
+# Static split because Mosaic cannot slice the lane axis dynamically;
+# tile-swizzled coherent packets concentrate each cluster's rays in one
+# or two sub-tiles, so most visits skip 3/4 of the tile.
+_GROUPS = 4
+_GLANES = _TILE // _GROUPS
+
 
 def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -234,11 +245,12 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     decisions are amortized over 2048 rays instead of 128.
 
     mask_scratch column map: 0 = super any-hit counts, 1 = cluster
-    any-hit counts (current super), 2 = cluster DMA slot ids,
+    any-hit counts (current super), 2 = cluster DMA slot ids, 3..3+G =
+    per-sub-tile cluster hit masks (ray compaction, see _GROUPS);
     ``slot_tbl`` (SMEM) maps DMA slot -> cluster index within the super.
     """
     tri_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (CLUSTER, _TILE), 0).astype(jnp.float32)
+        jnp.int32, (CLUSTER, _GLANES), 0).astype(jnp.float32)
 
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])       # [ROWS, 128] tiles
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -258,38 +270,48 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     best_scratch[0:1, :] = t_init
     best_scratch[1:2, :] = jnp.full((1, _TILE), -1.0, jnp.float32)
 
-    def intersect_block(buf, base_f):
-        """One cluster's M-T against every ray in the tile: a single
-        [4*CLUSTER, 128] @ [128, TILE] MXU pass + masked closest update
-        of best_scratch (rows 0 = t, 1 = winner slot index)."""
-        res = jax.lax.dot_general(
-            buf, F_limbs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [4*CLUSTER, TILE]
-        det = res[0 * CLUSTER:1 * CLUSTER]
-        ud = res[1 * CLUSTER:2 * CLUSTER]
-        vd = res[2 * CLUSTER:3 * CLUSTER]
-        td = res[3 * CLUSTER:4 * CLUSTER]
-        if backface_cull:
-            det_s, ud_s, vd_s, td_s = det, ud, vd, td
-        else:
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            det_s, ud_s, vd_s, td_s = (det * sgn, ud * sgn, vd * sgn,
-                                       td * sgn)
-        dvalid = det_s > _DET_EPS
-        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
-        tt = td_s * inv
-        t_best = best_scratch[0:1, :]
-        ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
-              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < t_best))
-        tt = jnp.where(ok, tt, _BIG)
-        t_blk = jnp.min(tt, axis=0, keepdims=True)
-        win = tt <= t_blk
-        i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
-                        axis=0, keepdims=True)
-        better = t_blk < t_best
-        best_scratch[0:1, :] = jnp.where(better, t_blk, t_best)
-        best_scratch[1:2, :] = jnp.where(
-            better, i_blk + base_f, best_scratch[1:2, :])
+    def intersect_block(buf, base_f, j):
+        """One cluster's M-T, ray-compacted: per static _GLANES-lane
+        sub-tile, run the [4*CLUSTER, 128] @ [128, _GLANES] MXU pass and
+        the masked closest update of best_scratch (rows 0 = t, 1 =
+        winner slot index) ONLY when that sub-tile slab-hit cluster
+        ``j`` (mask_scratch[j, 3+g])."""
+        for g in range(_GROUPS):
+            @pl.when(mask_scratch[j, 3 + g] > 0.0)
+            def _(g=g):
+                lo = g * _GLANES
+                res = jax.lax.dot_general(
+                    buf, F_limbs[:, lo:lo + _GLANES],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [4*C, GLANES]
+                det = res[0 * CLUSTER:1 * CLUSTER]
+                ud = res[1 * CLUSTER:2 * CLUSTER]
+                vd = res[2 * CLUSTER:3 * CLUSTER]
+                td = res[3 * CLUSTER:4 * CLUSTER]
+                if backface_cull:
+                    det_s, ud_s, vd_s, td_s = det, ud, vd, td
+                else:
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                    det_s, ud_s, vd_s, td_s = (det * sgn, ud * sgn,
+                                               vd * sgn, td * sgn)
+                dvalid = det_s > _DET_EPS
+                inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
+                tt = td_s * inv
+                t_best = best_scratch[0:1, lo:lo + _GLANES]
+                ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
+                      & (ud_s + vd_s <= det_s) & (tt > 0.0)
+                      & (tt < t_best))
+                tt = jnp.where(ok, tt, _BIG)
+                t_blk = jnp.min(tt, axis=0, keepdims=True)
+                win = tt <= t_blk
+                i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
+                                axis=0, keepdims=True)
+                better = t_blk < t_best
+                best_scratch[0:1, lo:lo + _GLANES] = jnp.where(
+                    better, t_blk, t_best)
+                best_scratch[1:2, lo:lo + _GLANES] = jnp.where(
+                    better, i_blk + base_f,
+                    best_scratch[1:2, lo:lo + _GLANES])
 
     # Level 0: all super-cluster AABBs vs the tile, each lane bounded by
     # its own t_init (per-ray culling).
@@ -309,8 +331,16 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
             cl_hit = _slab_panel(
                 _aabb_cols(cl_ref, s * SUPER, SUPER),
                 ox, oy, oz, ix, iy, iz, t_far)       # [SUPER, TILE]
-            hits_f = jnp.any(cl_hit, axis=1,
-                             keepdims=True).astype(jnp.float32)
+            cl_hit_f = cl_hit.astype(jnp.float32)
+            # Per-sub-tile hit masks for ray compaction (intersect_block
+            # skips sub-tiles whose 1/0 never set).
+            gms = []
+            for g in range(_GROUPS):
+                gm = jnp.max(cl_hit_f[:, g * _GLANES:(g + 1) * _GLANES],
+                             axis=1, keepdims=True)
+                mask_scratch[pl.ds(0, SUPER), 3 + g:4 + g] = gm
+                gms.append(gm)
+            hits_f = jnp.minimum(sum(gms), 1.0)
             mask_scratch[pl.ds(0, SUPER), 1:2] = hits_f
             # Vector slot assignment: slot_j = #hits before j —
             # exclusive prefix sum as a strictly-lower-triangular
@@ -352,7 +382,8 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                         blk_scratch.at[k],
                         dma_sems.at[k]).wait()
                     intersect_block(blk_scratch[k],
-                                    jnp.float32((s * SUPER + j) * CLUSTER))
+                                    jnp.float32((s * SUPER + j) * CLUSTER),
+                                    j)
                 return 0
             jax.lax.fori_loop(0, min(NSLOTS, SUPER), drain, 0)
 
@@ -372,7 +403,7 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                         dma.wait()
                         intersect_block(
                             blk_scratch[0],
-                            jnp.float32((s * SUPER + j) * CLUSTER))
+                            jnp.float32((s * SUPER + j) * CLUSTER), j)
                     return 0
                 jax.lax.fori_loop(0, SUPER, leftover, 0)
         return 0

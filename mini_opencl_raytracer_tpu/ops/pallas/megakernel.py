@@ -161,6 +161,138 @@ def _reflect3(v, n):
 
 
 # ---------------------------------------------------------------------------
+# Known-value residual channel: the backward kernel's bounce replay with
+# every transcendental removed.
+#
+# The forward kernel (VJP mode) EMITS each expensive intermediate it
+# computes (exp/log/sqrt/rsqrt/sincos outputs — ~17 f32 rows per ray) as
+# an extra kernel output; the backward kernel's replay READS them back
+# and substitutes the first-order known-value node
+#
+#     _lin(x, y0, dy0) = y0 + dy0 * (x - stop_gradient(x))
+#
+# whose runtime VALUE is exactly the recorded forward value y0 (the
+# bracket is identically zero) and whose VJP w.r.t. x is the closed-form
+# local derivative dy0 (built from y0 with at most one division). Since
+# the replay runs on the same inputs as the forward, y0 IS f(x), so
+# jax.vjp through the substituted graph produces the exact same
+# gradients as differentiating the original — with zero transcendental
+# recomputation, and (because every RNG draw feeds only such recorded
+# constants) zero RNG hashing in the backward kernel.
+
+def _lin(x, y0, dy0):
+    return y0 + dy0 * (x - jax.lax.stop_gradient(x))
+
+
+class _Resid:
+    """Writer (forward kernel) / reader (backward replay) of the
+    known-value rows, in one fixed emission order enforced by the shared
+    code path through the _k_* helpers."""
+
+    def __init__(self, rows=None):
+        self._rows = [] if rows is None else None
+        self._read = rows
+        self._i = 0
+
+    @property
+    def writing(self) -> bool:
+        return self._rows is not None
+
+    def emit(self, v):
+        self._rows.append(v)
+        return v
+
+    def take(self):
+        v = self._read[self._i]
+        self._i += 1
+        return v
+
+    @property
+    def rows(self):
+        return self._rows
+
+    @property
+    def taken(self) -> int:
+        return self._i
+
+
+def _k_exp(kn, x):
+    if kn is None:
+        return jnp.exp(x)
+    if kn.writing:
+        return kn.emit(jnp.exp(x))
+    y0 = kn.take()
+    return _lin(x, y0, y0)
+
+
+def _k_sqrt(kn, x):
+    if kn is None:
+        return jnp.sqrt(x)
+    if kn.writing:
+        return kn.emit(jnp.sqrt(x))
+    y0 = kn.take()
+    return _lin(x, y0, 0.5 / jnp.maximum(y0, 1e-20))
+
+
+def _k_recip(kn, x):
+    """1/x with known-value support (x bounded away from 0 by caller)."""
+    if kn is None:
+        return 1.0 / x
+    if kn.writing:
+        return kn.emit(1.0 / x)
+    y0 = kn.take()
+    return _lin(x, y0, -y0 * y0)
+
+
+def _k_const(kn, fn):
+    """A value independent of every differentiable input (pure RNG
+    function): the reader returns the recorded tile without evaluating
+    ``fn`` at all — this is what removes RNG hashing from the backward
+    kernel."""
+    if kn is None:
+        return fn()
+    if kn.writing:
+        return kn.emit(fn())
+    return kn.take()
+
+
+def _k_normalize3(kn, a, eps=1e-20):
+    if kn is None:
+        return _normalize3(a, eps)
+    q = jnp.maximum(_dot3(a, a), eps)
+    if kn.writing:
+        inv = kn.emit(jax.lax.rsqrt(q))
+    else:
+        y0 = kn.take()
+        inv = _lin(q, y0, -0.5 * y0 * y0 * y0)
+    return _scale3(a, inv)
+
+
+def _k_pow(kn, base, e):
+    """base**e (both differentiable; base > 0 ensured by caller)."""
+    if kn is None:
+        return jnp.power(base, e)
+    if kn.writing:
+        y = kn.emit(jnp.power(base, e))
+        kn.emit(jnp.log(jnp.maximum(base, 1e-20)))
+        return y
+    y0 = kn.take()
+    log_b = kn.take()
+    d_base = e * y0 / jnp.maximum(base, 1e-20)
+    return (y0 + d_base * (base - jax.lax.stop_gradient(base))
+            + (y0 * log_b) * (e - jax.lax.stop_gradient(e)))
+
+
+def _k_sigmoid(kn, x):
+    if kn is None:
+        return jax.nn.sigmoid(x)
+    if kn.writing:
+        return kn.emit(jax.nn.sigmoid(x))
+    y0 = kn.take()
+    return _lin(x, y0, y0 * (1.0 - y0))
+
+
+# ---------------------------------------------------------------------------
 # Counter-based RNG (bit-identical to ops/rng.py).
 
 _GOLDEN = np.uint32(0x9E3779B9)
@@ -450,26 +582,50 @@ class _Attrs(NamedTuple):
     ns: jax.Array
 
 
-def _gather_stacked_impl(tableT, i_best):
-    """One-hot MXU gather: per ray row r, attrs_r = tableT @ onehot_r.
+def _gather_row_group(T_pad: int) -> int:
+    """Ray rows per batched one-hot chunk: the largest power-of-two
+    divisor of _ROWS whose [T_pad, rg * 128] bf16 one-hot stays within
+    ~2 MB of VMEM. Small tables (Cornell) gather the whole grid step's
+    _ROWS x 128 rays with THREE wide MXU passes; the biggest tables
+    (T_pad = 2048) fall back to 16 chunks — still 4x fewer, far larger
+    matmuls than the old one-dot-per-row loop, whose fixed per-matmul
+    issue cost dominated the backward kernel."""
+    budget = (2 * 1024 * 1024) // (T_pad * _LANES * 2)
+    rg = _ROWS
+    while rg > max(budget, 1):
+        rg //= 2
+    return max(rg, 1)
 
-    f32 accuracy at single-pass MXU cost: the table is split into 3 bf16
-    limbs concatenated along K with the (bf16-exact) onehot tiled to
-    match, so one DEFAULT-precision matmul sums all three limb products
-    — the one-hot structure means no accumulation error beyond the limb
-    decomposition itself. Misses (idx == -1) produce all-zero columns.
+
+def _gather_stacked_impl(tableT, i_best):
+    """Batched one-hot MXU gather: attrs = tableT @ onehot over row
+    chunks of _gather_row_group rays at a time.
+
+    f32 accuracy at limb cost: the table is split into 3 bf16 limbs and
+    each chunk takes three DEFAULT-precision [C, T] @ [T, rg*128] passes
+    accumulated in f32 — the one-hot structure means no accumulation
+    error beyond the limb decomposition itself. Misses (idx == -1)
+    produce all-zero columns.
     """
     T_pad = tableT.shape[1]
-    t0, t1, t2 = _split3_bf16(tableT)
-    tab3 = jnp.concatenate([t0, t1, t2], axis=1)          # [C, 3T] bf16
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
-    per_row = []
-    for r in range(_ROWS):
-        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
-        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=0)
-        per_row.append(jax.lax.dot(tab3, oh3,
-                                   preferred_element_type=jnp.float32))
-    return jnp.stack(per_row, axis=1)             # [C_PAD, ROWS, 128]
+    limbs = _split3_bf16(tableT)
+    rg = _gather_row_group(T_pad)
+    cl = rg * _LANES
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, cl), 0)
+    chunks = []
+    for c in range(_ROWS // rg):
+        ib = i_best[c * rg:(c + 1) * rg, :].reshape(1, cl)
+        oh = (iota2 == ib).astype(jnp.bfloat16)          # [T, cl]
+        acc = jax.lax.dot(limbs[0], oh,
+                          preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(limbs[1], oh,
+                                preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(limbs[2], oh,
+                                preferred_element_type=jnp.float32)
+        chunks.append(acc.reshape(tableT.shape[0], rg, _LANES))
+    if len(chunks) == 1:
+        return chunks[0]                          # [C_PAD, ROWS, 128]
+    return jnp.concatenate(chunks, axis=1)
 
 
 @jax.custom_vjp
@@ -482,25 +638,25 @@ def _gather_stacked_fwd(tableT, i_best):
 
 
 def _gather_stacked_bwd(res, cot):
-    """d_tableT = sum_r cot_r @ onehot_r^T — the scatter-add matmul,
-    limb-packed the same way (3 bf16 limbs of the f32 cotangent along K)
-    so table gradients keep f32 accuracy at 1/2 the HIGHEST-precision
-    pass count. The contraction runs over the lane (ray) axis of both
+    """d_tableT = sum_rays cot_ray @ onehot_ray^T — the scatter-add
+    matmul, batched over the same row chunks and limb-packed the same
+    way (3 bf16 limbs of the f32 cotangent) so table gradients keep f32
+    accuracy. The contraction runs over the lane (ray) axis of both
     operands, so no transpose is materialized."""
     i_best, tab_shape = res
     T_pad = tab_shape[1]
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
-    # Contract the lane (ray) axes of both operands directly — measured
-    # faster than materializing a transposed one-hot.
+    rg = _gather_row_group(T_pad)
+    cl = rg * _LANES
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, cl), 0)
     dims = (((1,), (1,)), ((), ()))
     d_tab = jnp.zeros(tab_shape, jnp.float32)
-    for r in range(_ROWS):
-        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
-        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=1)  # [T, 384]
-        c0, c1, c2 = _split3_bf16(cot[:, r, :])
-        cot3 = jnp.concatenate([c0, c1, c2], axis=1)             # [C, 384]
-        d_tab = d_tab + jax.lax.dot_general(
-            cot3, oh3, dims, preferred_element_type=jnp.float32)
+    for c in range(_ROWS // rg):
+        ib = i_best[c * rg:(c + 1) * rg, :].reshape(1, cl)
+        oh = (iota2 == ib).astype(jnp.bfloat16)          # [T, cl]
+        cotc = cot[:, c * rg:(c + 1) * rg, :].reshape(tab_shape[0], cl)
+        for climb in _split3_bf16(cotc):
+            d_tab = d_tab + jax.lax.dot_general(
+                climb, oh, dims, preferred_element_type=jnp.float32)
     d_idx = np.zeros(i_best.shape, dtype=jax.dtypes.float0)
     return d_tab, d_idx
 
@@ -522,7 +678,7 @@ def _gather_attrs(tableT, i_best) -> _Attrs:
                   ns=stacked[_NS])
 
 
-def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
+def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool, kn=None):
     """Differentiable (t, u, v) recompute on the winning triangle and the
     interpolated shading point — exactly ops/shading.hit_attributes
     (kernel_bvh.cl:144-147)."""
@@ -532,7 +688,8 @@ def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
         dvalid = det > _DET_EPS
     else:
         dvalid = jnp.abs(det) > _DET_EPS
-    inv_det = jnp.where(dvalid, 1.0 / jnp.where(dvalid, det, 1.0), 0.0)
+    inv_det = jnp.where(dvalid,
+                        _k_recip(kn, jnp.where(dvalid, det, 1.0)), 0.0)
     tvec = _sub3(o3, at.v0)
     u = _dot3(tvec, pvec) * inv_det
     qvec = _cross3(tvec, at.e1)
@@ -546,7 +703,7 @@ def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
     v = jnp.where(hit, v, 0.0)
     w = 1.0 - u - v
     pos = _add3(o3, _scale3(d3, t))
-    normal = _normalize3((
+    normal = _k_normalize3(kn, (
         u * at.n1[0] + v * at.n2[0] + w * at.n0[0],
         u * at.n1[1] + v * at.n2[1] + w * at.n0[1],
         u * at.n1[2] + v * at.n2[2] + w * at.n0[2],
@@ -554,61 +711,71 @@ def _winner_point(at: _Attrs, o3, d3, hit, backface_cull: bool):
     return pos, normal, u, v
 
 
-def _build_onb(n):
+def _build_onb(n, kn=None):
     """SampleHemisphereCosine's frame (kernel_bvh.cl:85-87), SoA."""
     use_y = jnp.abs(n[0]) > 1e-3
     ax = jnp.where(use_y, 0.0, 1.0)
     ay = jnp.where(use_y, 1.0, 0.0)
     axis = (ax, ay, jnp.zeros_like(ax))
-    t = _normalize3(_cross3(axis, n))
+    t = _k_normalize3(kn, _cross3(axis, n))
     s = _cross3(n, t)
     return s, t
 
 
-def _spherical_dir(s, t, n, phi, sin_theta, cos_theta):
-    cp, sp = jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta
-    return _normalize3((
-        s[0] * cp + t[0] * sp + n[0] * cos_theta,
-        s[1] * cp + t[1] * sp + n[1] * cos_theta,
-        s[2] * cp + t[2] * sp + n[2] * cos_theta,
+def _k_dir(kn, s, t, n, cp, sp, ct):
+    """_spherical_dir with pre-multiplied azimuth terms: normalize
+    (s*cp + t*sp + n*ct) — cp/sp already include the sin_theta factor."""
+    return _k_normalize3(kn, (
+        s[0] * cp + t[0] * sp + n[0] * ct,
+        s[1] * cp + t[1] * sp + n[1] * ct,
+        s[2] * cp + t[2] * sp + n[2] * ct,
     ))
 
 
 def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
-                 specular_model: str = "blinn"):
+                 specular_model: str = "blinn", kn=None):
     """ops/brdf.sample_brdf (kernel_bvh.cl:221-302), SoA in-kernel.
-    ``cms``: [_NUM_SITES, ROWS, 128] pre-mixed counter tiles."""
-    u_lobe = _uniform_cm(seeds, cms[_SITE_LOBE])
-    du1 = _uniform_cm(seeds, cms[_SITE_DIFF_PHI])
-    du2 = _uniform_cm(seeds, cms[_SITE_DIFF_R2])
-    su1 = _uniform_cm(seeds, cms[_SITE_SPEC_PHI])
-    su2 = _uniform_cm(seeds, cms[_SITE_SPEC_COS])
-    pick_spec = u_lobe > (1.0 - specular_prob)
+    ``cms``: [_NUM_SITES, ROWS, 128] pre-mixed counter tiles (unused —
+    and may be None — when ``kn`` is a reader: every RNG-derived value
+    is a recorded known-value constant)."""
+    replay = kn is not None and not kn.writing
+    if replay:
+        u_lobe = du1 = du2 = su1 = su2 = None
+    else:
+        u_lobe = _uniform_cm(seeds, cms[_SITE_LOBE])
+        du1 = _uniform_cm(seeds, cms[_SITE_DIFF_PHI])
+        du2 = _uniform_cm(seeds, cms[_SITE_DIFF_R2])
+        su1 = _uniform_cm(seeds, cms[_SITE_SPEC_PHI])
+        su2 = _uniform_cm(seeds, cms[_SITE_SPEC_COS])
+    pick_spec = _k_const(kn, lambda: jnp.where(
+        u_lobe > (1.0 - specular_prob), 1.0, 0.0)) > 0.5
 
-    s, t = _build_onb(normal)
+    s, t = _build_onb(normal, kn)
 
-    # Diffuse lobe (SampleDiffuse, kernel_bvh.cl:264-269).
-    d_phi = _TWO_PI * du1
-    d_sin = jnp.sqrt(du2)
-    d_cos = jnp.sqrt(jnp.maximum(1.0 - du2, 0.0))
-    d_wi = _spherical_dir(s, t, normal, d_phi, d_sin, d_cos)
+    # Diffuse lobe (SampleDiffuse, kernel_bvh.cl:264-269). The azimuth/
+    # elevation terms are pure RNG functions -> recorded constants.
+    d_cp = _k_const(kn, lambda: jnp.cos(_TWO_PI * du1) * jnp.sqrt(du2))
+    d_sp = _k_const(kn, lambda: jnp.sin(_TWO_PI * du1) * jnp.sqrt(du2))
+    d_ct = _k_const(kn, lambda: jnp.sqrt(jnp.maximum(1.0 - du2, 0.0)))
+    d_wi = _k_dir(kn, s, t, normal, d_cp, d_sp, d_ct)
     d_pdf = _dot3(d_wi, normal) * _INV_PI
     d_f = _scale3(kd, jnp.float32(_INV_PI))
     d_valid = d_pdf > 0.0
 
     alpha = jnp.maximum(ns, 0.0)
-    s_phi = _TWO_PI * su1
     if specular_model == "ggx":
         # True GGX lobe (ops/brdf.sample_specular_ggx; D from
         # DistributionGGX, kernel_bvh.cl:221-225).
-        rr = jnp.sqrt(2.0 / (alpha + 2.0))
+        rr = _k_sqrt(kn, 2.0 / (alpha + 2.0))
         ag = rr * rr
         a2 = jnp.maximum(ag * ag, 1e-12)
-        u2c = jnp.clip(su2, 0.0, 1.0 - 1e-7)
+        u2c = _k_const(kn, lambda: jnp.clip(su2, 0.0, 1.0 - 1e-7))
         cos_h2 = (1.0 - u2c) / (1.0 + (a2 - 1.0) * u2c)
-        cos_h = jnp.sqrt(jnp.clip(cos_h2, 0.0, 1.0))
-        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h2, 0.0))
-        wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
+        cos_h = _k_sqrt(kn, jnp.clip(cos_h2, 0.0, 1.0))
+        sin_h = _k_sqrt(kn, jnp.maximum(1.0 - cos_h2, 0.0))
+        s_cp = _k_const(kn, lambda: jnp.cos(_TWO_PI * su1))
+        s_sp = _k_const(kn, lambda: jnp.sin(_TWO_PI * su1))
+        wh = _k_dir(kn, s, t, normal, s_cp * sin_h, s_sp * sin_h, cos_h)
         s_wi = _reflect3(wo, wh)
         cos_i = _dot3(s_wi, normal)
         cos_o = _dot3(wo, normal)
@@ -622,22 +789,23 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
     else:
         # Blinn specular lobe (SampleSpecular/SampleGGX,
         # kernel_bvh.cl:227-292, spec-cleaned per ops/brdf.py).
-        u2c = jnp.clip(su2, 1e-12, 1.0)
-        log_u2 = jnp.log(u2c)
-        cos_h = jnp.exp(log_u2 / (alpha + 1.0))
-        sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
-        wh = _spherical_dir(s, t, normal, s_phi, sin_h, cos_h)
+        log_u2 = _k_const(kn, lambda: jnp.log(jnp.clip(su2, 1e-12, 1.0)))
+        cos_h = _k_exp(kn, log_u2 / (alpha + 1.0))
+        sin_h = _k_sqrt(kn, jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+        s_cp = _k_const(kn, lambda: jnp.cos(_TWO_PI * su1))
+        s_sp = _k_const(kn, lambda: jnp.sin(_TWO_PI * su1))
+        wh = _k_dir(kn, s, t, normal, s_cp * sin_h, s_sp * sin_h, cos_h)
         s_wi = _reflect3(wo, wh)
         cos_i = _dot3(s_wi, normal)
         cos_o = _dot3(wo, normal)
         same_hemi = (cos_i * cos_o) >= 1e-6
         # exp-reuse of the sampling log (see ops/brdf.sample_specular).
-        cosn = jnp.exp(log_u2 * (alpha / (alpha + 1.0)))
+        cosn = _k_exp(kn, log_u2 * (alpha / (alpha + 1.0)))
         d_ndf = (alpha + 2.0) * jnp.float32(0.5 * _INV_PI) * cosn
         pdf_h = (alpha + 1.0) * jnp.float32(0.5 * _INV_PI) * cosn
         wo_dot_wh = jnp.maximum(_dot3(wo, wh), 0.0)
         s_pdf = pdf_h / jnp.maximum(4.0 * wo_dot_wh, 1e-8)
-        r = jnp.sqrt(2.0 / (alpha + 2.0)) + 1.0
+        r = _k_sqrt(kn, 2.0 / (alpha + 2.0)) + 1.0
     # Smith G with the reference's k mapping (kernel_bvh.cl:241-257).
     k = (r * r) / 8.0
     ndotv = jnp.maximum(cos_o, 0.0)
@@ -662,7 +830,7 @@ def _sample_brdf(wo, normal, kd, ks, ns, seeds, cms, specular_prob,
 
 def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
                   direct_specular: bool, shadow_fn=None, occ_bits=None,
-                  shadow_eps: float = 1e-2):
+                  shadow_eps: float = 1e-2, kn=None):
     """ops/lights.direct_light (lightPixel, kernel_bvh.cl:304-347), SoA.
     ``lv``: [L, 16] lights value (see _L* column layout).
 
@@ -687,7 +855,7 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
         ldx, ldy, ldz = ldx * dn, ldy * dn, ldz * dn
 
         to_l = (lpx - pos[0], lpy - pos[1], lpz - pos[2])
-        dist = jnp.sqrt(jnp.maximum(_dot3(to_l, to_l), 1e-12))
+        dist = _k_sqrt(kn, jnp.maximum(_dot3(to_l, to_l), 1e-12))
         inv_dist = 1.0 / dist
         l_point = _scale3(to_l, inv_dist)
         is_dir = ltype <= 0.5          # LIGHT_DIRECTIONAL == 0
@@ -720,10 +888,10 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
         diff_total = diff_total + weight
 
         if direct_specular:
-            h = _normalize3(_add3(l_unit, wo))
+            h = _k_normalize3(kn, _add3(l_unit, wo))
             ndoth = jnp.maximum(_dot3(normal, h), 0.0)
-            spec = jnp.power(jnp.maximum(ndoth, 1e-6),
-                             jnp.maximum(ns, 1.0))
+            spec = _k_pow(kn, jnp.maximum(ndoth, 1e-6),
+                          jnp.maximum(ns, 1.0))
             spec = jnp.where(ndotl > 0.0, spec, 0.0)
             spec_w = attn * intensity * spec
             if shadow_fn is not None or occ_bits is not None:
@@ -734,16 +902,18 @@ def _direct_light(lv, num_lights: int, pos, normal, wo, ns,
 
 def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
                   cms, lv, num_lights: int, cfg: RenderConfig,
-                  shadow_fn=None, occ_bits=None):
+                  shadow_fn=None, occ_bits=None, kn=None):
     """One bounce of the reference recurrence (Render, kernel_bvh.cl:
     349-384) on [_ROWS, 128] tiles — the exact per-bounce math of
     ops/integrator.trace_paths.bounce_step. ``shadow_fn`` / ``occ_bits``
     select in-kernel shadow casting vs frozen-mask replay (see
-    _direct_light); the per-light occlusion bitmask is returned last."""
+    _direct_light); the per-light occlusion bitmask is returned last.
+    ``kn``: known-value residual channel (None = plain compute)."""
     hit = i_best >= 0
     sky = tuple(jnp.float32(c * cfg.skybox_intensity) for c in cfg.sky_color)
 
-    pos, normal, uu, vv = _winner_point(at, o3, d3, hit, cfg.backface_cull)
+    pos, normal, uu, vv = _winner_point(at, o3, d3, hit, cfg.backface_cull,
+                                        kn=kn)
 
     miss = alive & ~hit
     rad3 = _add3(rad3, _where3(miss,
@@ -755,7 +925,7 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
     # Soft-visibility coverage (ops/shading.soft_coverage; 1.0 when hard).
     if cfg.soft_edge_sigma > 0.0:
         margin = jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
-        cov = jax.nn.sigmoid(margin / jnp.float32(cfg.soft_edge_sigma))
+        cov = _k_sigmoid(kn, margin / jnp.float32(cfg.soft_edge_sigma))
         rad3 = _add3(rad3, _where3(
             live,
             (beta3[0] * ((1.0 - cov) * sky[0]),
@@ -771,7 +941,8 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
     wo = _neg3(d3)
     wi, f, pdf, valid = _sample_brdf(wo, normal, at.kd, at.ks, at.ns,
                                      seeds, cms, cfg.specular_prob,
-                                     specular_model=cfg.specular_model)
+                                     specular_model=cfg.specular_model,
+                                     kn=kn)
     cos_i = _dot3(wi, normal)
     pdf_safe = jnp.where(pdf > 0.0, pdf, 1.0)
     scale = cos_i / pdf_safe
@@ -785,7 +956,7 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
     dl_diff, dl_spec, occ_out = _direct_light(
         lv, num_lights, pos, normal, wo, at.ns, cfg.direct_specular,
         shadow_fn=shadow_fn, occ_bits=occ_bits,
-        shadow_eps=cfg.ray_epsilon)
+        shadow_eps=cfg.ray_epsilon, kn=kn)
     direct = _scale3(at.kd, dl_diff * cov)
     if cfg.direct_specular:
         direct = _add3(direct, _scale3(at.ks, dl_spec * cov))
@@ -803,11 +974,29 @@ def _shade_bounce(at: _Attrs, i_best, o3, d3, beta3, rad3, alive, seeds,
 # Forward bounce kernel: one fused bounce
 # (intersect -> gather -> shade -> next-ray state).
 
+def _num_resid_rows(cfg: RenderConfig, num_lights: int) -> int:
+    """Known-value rows emitted per ray by the forward kernel, in
+    _shade_bounce's emission order (asserted against the actual count at
+    kernel trace time)."""
+    n = 2                                  # winner inv_det + normal norm
+    if cfg.soft_edge_sigma > 0.0:
+        n += 1                             # coverage sigmoid
+    n += 1                                 # pick_spec
+    n += 1                                 # ONB normalize
+    n += 4                                 # diffuse cp/sp/ct + d_wi norm
+    n += 7 if cfg.specular_model == "ggx" else 8
+    n += num_lights                        # per-light dist
+    if cfg.direct_specular:
+        n += 3 * num_lights                # h-norm + pow value + log base
+    return n
+
+
 def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
                        o_ref, d_ref, beta_ref, af_ref, seed_ref,
                        no_ref, nd_ref, nbeta_ref, naf_ref, rad_ref, idx_ref,
-                       occ_ref,
-                       *, cfg: RenderConfig, num_lights: int, mt_T_pad: int):
+                       occ_ref, *maybe_resid,
+                       cfg: RenderConfig, num_lights: int, mt_T_pad: int,
+                       save_resid: bool = False):
     tableT = tab_ref[:]
     lv = lv_ref[:]
     cms = cms_ref[:]
@@ -827,9 +1016,10 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
             mt_ref, so3, sd3, tlim, cfg.backface_cull, mt_T_pad)
     else:
         shadow_fn = None
+    kn = _Resid() if save_resid else None
     o3n, d3n, beta3n, rad3, alive_n, occ = _shade_bounce(
         at, i_best, o3, d3, beta3, (zeros, zeros, zeros), alive, seeds,
-        cms, lv, num_lights, cfg, shadow_fn=shadow_fn)
+        cms, lv, num_lights, cfg, shadow_fn=shadow_fn, kn=kn)
 
     for i in range(3):
         no_ref[i] = o3n[i]
@@ -838,22 +1028,30 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
         rad_ref[i] = rad3[i]
     naf_ref[:] = jnp.where(alive_n, 1.0, 0.0)
     occ_ref[:] = occ
+    if save_resid:
+        (resid_ref,) = maybe_resid
+        assert len(kn.rows) == resid_ref.shape[0], \
+            (len(kn.rows), resid_ref.shape)
+        for i, row in enumerate(kn.rows):
+            resid_ref[i] = row
 
 
 # ---------------------------------------------------------------------------
 # Backward bounce kernel: replay ONE bounce with the recorded winner
-# indices frozen and run jax.vjp of the replay inside the kernel.
+# indices frozen and run jax.vjp of the replay inside the kernel. The
+# replay substitutes recorded known-values for every transcendental
+# (see _Resid), so this kernel contains no exp/log/trig/rsqrt and no
+# RNG hashing — only the gather/scatter matmuls and the (mostly
+# mul/add) VJP arithmetic of the shading chain.
 
-def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
-                       o_ref, d_ref, beta_ref, af_ref, seed_ref, idx_ref,
-                       occ_in_ref,
+def _bounce_bwd_kernel(tab_ref, lv_ref,
+                       o_ref, d_ref, beta_ref, af_ref, idx_ref,
+                       occ_in_ref, resid_ref,
                        co_ref, cd_ref, cbeta_ref, crad_ref,
                        do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref,
                        *, cfg: RenderConfig, num_lights: int):
     tableT = tab_ref[:]
     lv = lv_ref[:]
-    cms = cms_ref[:]
-    seeds = seed_ref[:]
     i_best = idx_ref[:]
     occ_bits = occ_in_ref[:] if cfg.shadow_rays else None
     alive = af_ref[:] > 0.0
@@ -861,12 +1059,16 @@ def _bounce_bwd_kernel(tab_ref, lv_ref, cms_ref,
     d3 = (d_ref[0], d_ref[1], d_ref[2])
     beta3 = (beta_ref[0], beta_ref[1], beta_ref[2])
     zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
+    n_res = resid_ref.shape[0]
+    resid_rows = [resid_ref[i] for i in range(n_res)]
 
     def replay(tabv, lvv, o3v, d3v, beta3v):
+        kn = _Resid(rows=resid_rows)
         at = _gather_attrs(tabv, i_best)      # frozen hit record
         o3n, d3n, beta3n, rad3, _, _ = _shade_bounce(
             at, i_best, o3v, d3v, beta3v, (zeros, zeros, zeros), alive,
-            seeds, cms, lvv, num_lights, cfg, occ_bits=occ_bits)
+            None, None, lvv, num_lights, cfg, occ_bits=occ_bits, kn=kn)
+        assert kn.taken == n_res, (kn.taken, n_res)
         return o3n, d3n, beta3n, rad3
 
     _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3, beta3)
@@ -922,9 +1124,11 @@ def _scalar_spec():
 
 
 def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
-                    cfg: RenderConfig):
+                    cfg: RenderConfig, save_resid: bool = False):
     """One fused bounce over the whole wavefront. All ray state is in
-    stacked-panel layout ([3, n_rows, 128] / [n_rows, 128])."""
+    stacked-panel layout ([3, n_rows, 128] / [n_rows, 128]). With
+    ``save_resid`` (the VJP forward) the kernel additionally streams out
+    the known-value residual rows the backward replay consumes."""
     T_pad = tableT.shape[1]
     mt_T_pad = mt_table.shape[0] // 4
     num_lights = lv.shape[0]
@@ -932,9 +1136,23 @@ def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
     grid = (n_rows // _ROWS,)
 
     kernel = functools.partial(_bounce_fwd_kernel, cfg=cfg,
-                               num_lights=num_lights, mt_T_pad=mt_T_pad)
+                               num_lights=num_lights, mt_T_pad=mt_T_pad,
+                               save_resid=save_resid)
     vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
     scal_shape = jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
+    out_specs = [_vec_spec(), _vec_spec(), _vec_spec(),
+                 _scalar_spec(), _vec_spec(), _scalar_spec(),
+                 _scalar_spec()]
+    out_shape = [vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
+                 jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
+                 jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32)]
+    if save_resid:
+        n_res = _num_resid_rows(cfg, num_lights)
+        out_specs.append(pl.BlockSpec((n_res, _ROWS, _LANES),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_res, n_rows, _LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -944,36 +1162,34 @@ def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
                   _const_spec((_NUM_SITES, _ROWS, _LANES)),
                   _vec_spec(), _vec_spec(), _vec_spec(),
                   _scalar_spec(), _scalar_spec()],
-        out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
-                   _scalar_spec(), _vec_spec(), _scalar_spec(),
-                   _scalar_spec()),
-        out_shape=(vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
-                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(tableT, mt_table, lv, cms, o, d, beta, aliveF, seeds)
 
 
-def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
+def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, idx, occ, resid,
                     cot, cfg: RenderConfig):
     T_pad = tableT.shape[1]
     num_lights = lv.shape[0]
     n_rows = aliveF.shape[0]
+    n_res = resid.shape[0]
     grid = (n_rows // _ROWS,)
     co, cd, cbeta, crad = cot
 
     kernel = functools.partial(_bounce_bwd_kernel, cfg=cfg,
                                num_lights=num_lights)
     vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
+    resid_spec = pl.BlockSpec((n_res, _ROWS, _LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_const_spec((_C_PAD, T_pad)),
                   _const_spec((num_lights, _LCOLS)),
-                  _const_spec((_NUM_SITES, _ROWS, _LANES)),
                   _vec_spec(), _vec_spec(), _vec_spec(),
                   _scalar_spec(), _scalar_spec(), _scalar_spec(),
-                  _scalar_spec(),
+                  resid_spec,
                   _vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
         out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
                    _const_spec((_C_PAD, T_pad)),
@@ -982,7 +1198,7 @@ def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
                    jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
                    jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32)),
         interpret=_interpret(),
-    )(tableT, lv, cms, o, d, beta, aliveF, seeds, idx, occ,
+    )(tableT, lv, o, d, beta, aliveF, idx, occ, resid,
       co, cd, cbeta, crad)
 
 
@@ -999,23 +1215,25 @@ def _bounce(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
 
 
 def _bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg):
-    no, nd, nbeta, naf, rad, idx, occ = _run_bounce_fwd(
-        tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg)
-    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
-           mt_table.shape)
+    no, nd, nbeta, naf, rad, idx, occ, resid = _run_bounce_fwd(
+        tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg,
+        save_resid=True)
+    res = (tableT, lv, o, d, beta, aliveF, idx, occ, resid,
+           seeds.shape, cms.shape, mt_table.shape)
     return (no, nd, nbeta, naf, rad), res
 
 
 def _bounce_bwd(cfg, res, cots):
-    tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms, mt_shape = res
+    (tableT, lv, o, d, beta, aliveF, idx, occ, resid,
+     seeds_shape, cms_shape, mt_shape) = res
     co, cd, cbeta, _caf, crad = cots   # alive mask carries no gradient
     d_o, d_d, d_beta, d_tab, d_lv = _run_bounce_bwd(
-        tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
+        tableT, lv, o, d, beta, aliveF, idx, occ, resid,
         (co, cd, cbeta, crad), cfg)
-    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     d_mt = jnp.zeros(mt_shape, jnp.bfloat16)
     return (d_tab, d_lv, d_mt, d_o, d_d, d_beta,
-            jnp.zeros_like(aliveF), f0(seeds), f0(cms))
+            jnp.zeros_like(aliveF), f0(seeds_shape), f0(cms_shape))
 
 
 _bounce.defvjp(_bounce_fwd, _bounce_bwd)
