@@ -101,15 +101,16 @@ def main():
           f"({t_fr*1e3/B:.2f} ms/bounce)")
 
     n_res = mk._num_resid_rows(cfg, lv.shape[0])
-    resid = jnp.full((n_res, n_rows, mk._LANES), 0.5, jnp.float32)
+    resid = (jnp.full((n_res, n_rows, mk._LANES), 0.5, jnp.float32)
+             if cfg.bwd_residuals else None)
 
     @jax.jit
     def bwd_kernels(o, d, beta, aliveF):
         acc = o
         for _ in range(B):
             d_o, d_d, d_beta, d_tab, d_lv = mk._run_bounce_bwd(
-                tableT, lv, o, d, beta, aliveF, idx, occ, resid,
-                cot, cfg)
+                tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms,
+                resid, cot, cfg)
             acc = acc + d_o
             o, d, beta = d_o, d_d, d_beta
         return acc, d_tab, d_lv

@@ -49,7 +49,8 @@ def main():
     occ = jnp.zeros((n_rows, mk._LANES), jnp.int32)
     cot = (o, d, beta, o)
     n_res = mk._num_resid_rows(cfg, lv.shape[0])
-    resid = jnp.full((n_res, n_rows, mk._LANES), 0.5, jnp.float32)
+    resid = (jnp.full((n_res, n_rows, mk._LANES), 0.5, jnp.float32)
+             if cfg.bwd_residuals else None)
 
     def fwd_fn():
         @jax.jit
@@ -71,8 +72,8 @@ def main():
             oo, dd, bb = o, d, beta
             for _ in range(B):
                 d_o, d_d, d_beta, d_tab, d_lv = mk._run_bounce_bwd(
-                    tableT, lv, oo, dd, bb, aliveF, idx, occ, resid,
-                    cot, cfg)
+                    tableT, lv, oo, dd, bb, aliveF, seeds, idx, occ,
+                    cms, resid, cot, cfg)
                 acc = acc + d_o
                 oo, dd, bb = d_o, d_d, d_beta
             return acc, d_tab, d_lv

@@ -89,6 +89,15 @@ class RenderConfig:
     # the scan body): trades recompute for activation memory so full-res
     # gradient renders fit in HBM.
     remat: bool = True
+    # Megakernel backward mode: False (default) re-derives the forward
+    # shading intermediates inside the backward kernel; True streams
+    # them out of the forward kernel as known-value residuals (~17
+    # f32/ray/bounce) so the backward replay contains no transcendentals
+    # or RNG hashing. Measured at 1080p Cornell the residual stream's
+    # HBM stacking costs more than the recompute it saves (the bounce
+    # VPU chain is matmul-bound, not transcendental-bound —
+    # benchmarks/PROFILE.md round 4), so recompute is the default.
+    bwd_residuals: bool = False
     # Sort the ray wavefront by direction octant + origin Morton code
     # before each intersection (per-ray results are identical — only the
     # packet layout changes). Restores packet coherence for secondary

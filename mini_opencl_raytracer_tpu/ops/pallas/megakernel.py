@@ -61,6 +61,7 @@ the absolute tolerance (tests use atol 5e-4 at Cornell world scale).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -73,8 +74,10 @@ from ...config import RenderConfig
 from ...models.scene import Lights, Materials, Geometry, Scene
 
 _LANES = 128
-_ROWS = 64                     # ray rows per grid step (rays = _ROWS*128)
-# (swept 16/32/64/128 on v5e at 1080p: 387/402/409/407 Mrays/s fwd+bwd)
+# Ray rows per grid step (rays = _ROWS*128). Swept 16/32/64/128 on v5e
+# at 1080p: 387/402/409/407 Mrays/s fwd+bwd — 64 is the plateau. The
+# env override exists for benchmarking sweeps only (read once at import).
+_ROWS = int(os.environ.get("MRT_MEGA_ROWS", "64"))
 _TILE = _ROWS * _LANES
 _MAX_TRIS = 2048               # VMEM-resident scene limit for this path
 _TRI_BLOCK = 64                # triangles per [TB, ROWS, 128] M-T panel
@@ -582,50 +585,32 @@ class _Attrs(NamedTuple):
     ns: jax.Array
 
 
-def _gather_row_group(T_pad: int) -> int:
-    """Ray rows per batched one-hot chunk: the largest power-of-two
-    divisor of _ROWS whose [T_pad, rg * 128] bf16 one-hot stays within
-    ~2 MB of VMEM. Small tables (Cornell) gather the whole grid step's
-    _ROWS x 128 rays with THREE wide MXU passes; the biggest tables
-    (T_pad = 2048) fall back to 16 chunks — still 4x fewer, far larger
-    matmuls than the old one-dot-per-row loop, whose fixed per-matmul
-    issue cost dominated the backward kernel."""
-    budget = (2 * 1024 * 1024) // (T_pad * _LANES * 2)
-    rg = _ROWS
-    while rg > max(budget, 1):
-        rg //= 2
-    return max(rg, 1)
-
-
+# One-hot gather/scatter NOTE (round-4 measurement): batched
+# alternatives — row-flattened 2-D one-hots and relayout-free 3-D
+# dot_generals — were implemented and measured SLOWER on v5e than this
+# per-row loop (fwd 2.15 -> 2.47 ms/bounce, bwd 2.66 -> 2.98; Mosaic
+# pipelines the small dots and the batched forms pay relayouts), and
+# Mosaic rejects the two-dim-contraction scatter outright. Keep the loop.
 def _gather_stacked_impl(tableT, i_best):
-    """Batched one-hot MXU gather: attrs = tableT @ onehot over row
-    chunks of _gather_row_group rays at a time.
+    """One-hot MXU gather: per ray row r, attrs_r = tableT @ onehot_r.
 
-    f32 accuracy at limb cost: the table is split into 3 bf16 limbs and
-    each chunk takes three DEFAULT-precision [C, T] @ [T, rg*128] passes
-    accumulated in f32 — the one-hot structure means no accumulation
-    error beyond the limb decomposition itself. Misses (idx == -1)
-    produce all-zero columns.
+    f32 accuracy at single-pass MXU cost: the table is split into 3 bf16
+    limbs concatenated along K with the (bf16-exact) onehot tiled to
+    match, so one DEFAULT-precision matmul sums all three limb products
+    — the one-hot structure means no accumulation error beyond the limb
+    decomposition itself. Misses (idx == -1) produce all-zero columns.
     """
     T_pad = tableT.shape[1]
-    limbs = _split3_bf16(tableT)
-    rg = _gather_row_group(T_pad)
-    cl = rg * _LANES
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, cl), 0)
-    chunks = []
-    for c in range(_ROWS // rg):
-        ib = i_best[c * rg:(c + 1) * rg, :].reshape(1, cl)
-        oh = (iota2 == ib).astype(jnp.bfloat16)          # [T, cl]
-        acc = jax.lax.dot(limbs[0], oh,
-                          preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot(limbs[1], oh,
-                                preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot(limbs[2], oh,
-                                preferred_element_type=jnp.float32)
-        chunks.append(acc.reshape(tableT.shape[0], rg, _LANES))
-    if len(chunks) == 1:
-        return chunks[0]                          # [C_PAD, ROWS, 128]
-    return jnp.concatenate(chunks, axis=1)
+    t0, t1, t2 = _split3_bf16(tableT)
+    tab3 = jnp.concatenate([t0, t1, t2], axis=1)          # [C, 3T] bf16
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
+    per_row = []
+    for r in range(_ROWS):
+        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
+        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=0)
+        per_row.append(jax.lax.dot(tab3, oh3,
+                                   preferred_element_type=jnp.float32))
+    return jnp.stack(per_row, axis=1)             # [C_PAD, ROWS, 128]
 
 
 @jax.custom_vjp
@@ -638,25 +623,25 @@ def _gather_stacked_fwd(tableT, i_best):
 
 
 def _gather_stacked_bwd(res, cot):
-    """d_tableT = sum_rays cot_ray @ onehot_ray^T — the scatter-add
-    matmul, batched over the same row chunks and limb-packed the same
-    way (3 bf16 limbs of the f32 cotangent) so table gradients keep f32
-    accuracy. The contraction runs over the lane (ray) axis of both
+    """d_tableT = sum_r cot_r @ onehot_r^T — the scatter-add matmul,
+    limb-packed the same way (3 bf16 limbs of the f32 cotangent along K)
+    so table gradients keep f32 accuracy at 1/2 the HIGHEST-precision
+    pass count. The contraction runs over the lane (ray) axis of both
     operands, so no transpose is materialized."""
     i_best, tab_shape = res
     T_pad = tab_shape[1]
-    rg = _gather_row_group(T_pad)
-    cl = rg * _LANES
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, cl), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
+    # Contract the lane (ray) axes of both operands directly — measured
+    # faster than materializing a transposed one-hot.
     dims = (((1,), (1,)), ((), ()))
     d_tab = jnp.zeros(tab_shape, jnp.float32)
-    for c in range(_ROWS // rg):
-        ib = i_best[c * rg:(c + 1) * rg, :].reshape(1, cl)
-        oh = (iota2 == ib).astype(jnp.bfloat16)          # [T, cl]
-        cotc = cot[:, c * rg:(c + 1) * rg, :].reshape(tab_shape[0], cl)
-        for climb in _split3_bf16(cotc):
-            d_tab = d_tab + jax.lax.dot_general(
-                climb, oh, dims, preferred_element_type=jnp.float32)
+    for r in range(_ROWS):
+        onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
+        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=1)  # [T, 384]
+        c0, c1, c2 = _split3_bf16(cot[:, r, :])
+        cot3 = jnp.concatenate([c0, c1, c2], axis=1)             # [C, 384]
+        d_tab = d_tab + jax.lax.dot_general(
+            cot3, oh3, dims, preferred_element_type=jnp.float32)
     d_idx = np.zeros(i_best.shape, dtype=jax.dtypes.float0)
     return d_tab, d_idx
 
@@ -1044,12 +1029,20 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
 # RNG hashing — only the gather/scatter matmuls and the (mostly
 # mul/add) VJP arithmetic of the shading chain.
 
-def _bounce_bwd_kernel(tab_ref, lv_ref,
-                       o_ref, d_ref, beta_ref, af_ref, idx_ref,
-                       occ_in_ref, resid_ref,
-                       co_ref, cd_ref, cbeta_ref, crad_ref,
-                       do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref,
-                       *, cfg: RenderConfig, num_lights: int):
+def _bounce_bwd_kernel(tab_ref, lv_ref, *refs,
+                       cfg: RenderConfig, num_lights: int):
+    if cfg.bwd_residuals:
+        (o_ref, d_ref, beta_ref, af_ref, idx_ref, occ_in_ref, resid_ref,
+         co_ref, cd_ref, cbeta_ref, crad_ref,
+         do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref) = refs
+        seeds = cms = None
+    else:
+        (cms_ref, o_ref, d_ref, beta_ref, af_ref, seed_ref, idx_ref,
+         occ_in_ref,
+         co_ref, cd_ref, cbeta_ref, crad_ref,
+         do_ref, dd_ref, dbeta_ref, dtab_ref, dlv_ref) = refs
+        seeds = seed_ref[:]
+        cms = cms_ref[:]
     tableT = tab_ref[:]
     lv = lv_ref[:]
     i_best = idx_ref[:]
@@ -1059,16 +1052,18 @@ def _bounce_bwd_kernel(tab_ref, lv_ref,
     d3 = (d_ref[0], d_ref[1], d_ref[2])
     beta3 = (beta_ref[0], beta_ref[1], beta_ref[2])
     zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
-    n_res = resid_ref.shape[0]
-    resid_rows = [resid_ref[i] for i in range(n_res)]
+    if cfg.bwd_residuals:
+        n_res = resid_ref.shape[0]
+        resid_rows = [resid_ref[i] for i in range(n_res)]
 
     def replay(tabv, lvv, o3v, d3v, beta3v):
-        kn = _Resid(rows=resid_rows)
+        kn = _Resid(rows=resid_rows) if cfg.bwd_residuals else None
         at = _gather_attrs(tabv, i_best)      # frozen hit record
         o3n, d3n, beta3n, rad3, _, _ = _shade_bounce(
             at, i_best, o3v, d3v, beta3v, (zeros, zeros, zeros), alive,
-            None, None, lvv, num_lights, cfg, occ_bits=occ_bits, kn=kn)
-        assert kn.taken == n_res, (kn.taken, n_res)
+            seeds, cms, lvv, num_lights, cfg, occ_bits=occ_bits, kn=kn)
+        if cfg.bwd_residuals:
+            assert kn.taken == n_res, (kn.taken, n_res)
         return o3n, d3n, beta3n, rad3
 
     _, vjp_fn = jax.vjp(replay, tableT, lv, o3, d3, beta3)
@@ -1168,29 +1163,44 @@ def _run_bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
     )(tableT, mt_table, lv, cms, o, d, beta, aliveF, seeds)
 
 
-def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, idx, occ, resid,
-                    cot, cfg: RenderConfig):
+def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, seeds, idx, occ,
+                    cms, resid, cot, cfg: RenderConfig):
+    """Backward bounce kernel launch. ``resid`` carries the known-value
+    rows when cfg.bwd_residuals (then seeds/cms are unused); the default
+    recompute mode re-derives the forward intermediates in-kernel from
+    seeds/cms — measured faster end-to-end at 1080p because the
+    residual stream's per-bounce HBM stacking costs more than the
+    recompute it saves (benchmarks/PROFILE.md round 4)."""
     T_pad = tableT.shape[1]
     num_lights = lv.shape[0]
     n_rows = aliveF.shape[0]
-    n_res = resid.shape[0]
     grid = (n_rows // _ROWS,)
     co, cd, cbeta, crad = cot
 
     kernel = functools.partial(_bounce_bwd_kernel, cfg=cfg,
                                num_lights=num_lights)
     vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
-    resid_spec = pl.BlockSpec((n_res, _ROWS, _LANES), lambda i: (0, i, 0),
-                              memory_space=pltpu.VMEM)
+    if cfg.bwd_residuals:
+        n_res = resid.shape[0]
+        resid_spec = pl.BlockSpec((n_res, _ROWS, _LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+        extra_specs = [_vec_spec(), _vec_spec(), _vec_spec(),
+                       _scalar_spec(), _scalar_spec(), _scalar_spec(),
+                       resid_spec]
+        extra_args = (o, d, beta, aliveF, idx, occ, resid)
+    else:
+        extra_specs = [_const_spec((_NUM_SITES, _ROWS, _LANES)),
+                       _vec_spec(), _vec_spec(), _vec_spec(),
+                       _scalar_spec(), _scalar_spec(), _scalar_spec(),
+                       _scalar_spec()]
+        extra_args = (cms, o, d, beta, aliveF, seeds, idx, occ)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_const_spec((_C_PAD, T_pad)),
-                  _const_spec((num_lights, _LCOLS)),
-                  _vec_spec(), _vec_spec(), _vec_spec(),
-                  _scalar_spec(), _scalar_spec(), _scalar_spec(),
-                  resid_spec,
-                  _vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
+                  _const_spec((num_lights, _LCOLS))] + extra_specs
+                 + [_vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
         out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
                    _const_spec((_C_PAD, T_pad)),
                    _const_spec((num_lights, _LCOLS))),
@@ -1198,8 +1208,7 @@ def _run_bounce_bwd(tableT, lv, o, d, beta, aliveF, idx, occ, resid,
                    jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
                    jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32)),
         interpret=_interpret(),
-    )(tableT, lv, o, d, beta, aliveF, idx, occ, resid,
-      co, cd, cbeta, crad)
+    )(tableT, lv, *extra_args, co, cd, cbeta, crad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
@@ -1215,25 +1224,30 @@ def _bounce(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms,
 
 
 def _bounce_fwd(tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg):
-    no, nd, nbeta, naf, rad, idx, occ, resid = _run_bounce_fwd(
+    out = _run_bounce_fwd(
         tableT, lv, mt_table, o, d, beta, aliveF, seeds, cms, cfg,
-        save_resid=True)
-    res = (tableT, lv, o, d, beta, aliveF, idx, occ, resid,
-           seeds.shape, cms.shape, mt_table.shape)
+        save_resid=cfg.bwd_residuals)
+    if cfg.bwd_residuals:
+        no, nd, nbeta, naf, rad, idx, occ, resid = out
+    else:
+        no, nd, nbeta, naf, rad, idx, occ = out
+        resid = None
+    res = (tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms, resid,
+           mt_table.shape)
     return (no, nd, nbeta, naf, rad), res
 
 
 def _bounce_bwd(cfg, res, cots):
-    (tableT, lv, o, d, beta, aliveF, idx, occ, resid,
-     seeds_shape, cms_shape, mt_shape) = res
+    (tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms, resid,
+     mt_shape) = res
     co, cd, cbeta, _caf, crad = cots   # alive mask carries no gradient
     d_o, d_d, d_beta, d_tab, d_lv = _run_bounce_bwd(
-        tableT, lv, o, d, beta, aliveF, idx, occ, resid,
+        tableT, lv, o, d, beta, aliveF, seeds, idx, occ, cms, resid,
         (co, cd, cbeta, crad), cfg)
-    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     d_mt = jnp.zeros(mt_shape, jnp.bfloat16)
     return (d_tab, d_lv, d_mt, d_o, d_d, d_beta,
-            jnp.zeros_like(aliveF), f0(seeds_shape), f0(cms_shape))
+            jnp.zeros_like(aliveF), f0(seeds), f0(cms))
 
 
 _bounce.defvjp(_bounce_fwd, _bounce_bwd)

@@ -297,3 +297,100 @@ def render_sample_ring(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     radiance = jax.jit(body)(pixel_ids, scene, camera)
     return radiance.reshape(cfg.height, cfg.width, 3)
+
+
+def train_step_dp(scene: Scene, camera: Camera, cfg: RenderConfig,
+                  mesh: Mesh, frame=0,
+                  mesh_cfg: MeshConfig = MeshConfig(),
+                  grad_buckets: int = 1):
+    """One dp-sharded differentiable render step -> (loss, scene grads)
+    with the gradient all-reduce placed MANUALLY inside shard_map
+    (SURVEY.md section 2 comm row: "psum gradient all-reduce overlapped
+    with backward traversal").
+
+    ``grad_buckets=1`` is the baseline: one psum of the whole gradient
+    pytree after the full backward — the collective sits on the
+    critical path with nothing to hide behind. ``grad_buckets=k>1``
+    splits the pixel shard into k microbatches: each microbatch's
+    backward produces a gradient contribution whose psum is issued
+    immediately, so bucket i's all-reduce overlaps bucket i+1's
+    forward+backward compute (DDP-style gradient bucketing; on real
+    chips XLA's latency-hiding scheduler turns these into async
+    collectives riding ICI behind the compute — on the virtual-CPU test
+    mesh the collectives are memcpys, so the structure, not the
+    speedup, is what tests pin down). Loss = global mean radiance;
+    gradients cover every float leaf of the scene (see
+    grad.grad_float_leaves).
+    """
+    import jax.tree_util as jtu
+
+    R = cfg.num_pixels
+    dp = mesh.shape[mesh_cfg.dp_axis]
+    if R % dp:
+        raise ValueError(f"pixels {R} not divisible by dp={dp}")
+    R_local = R // dp
+    if R_local % grad_buckets:
+        raise ValueError(
+            f"local pixels {R_local} not divisible by {grad_buckets}")
+    pixel_ids = jnp.arange(R, dtype=jnp.uint32)
+    backend = resolve_backend(scene, cfg)
+    denom = float(R * 3)
+
+    leaves, treedef = jtu.tree_flatten(scene)
+    is_float = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+                for l in leaves]
+
+    def merged(float_leaves):
+        it = iter(float_leaves)
+        full = [next(it) if isf else leaf
+                for leaf, isf in zip(leaves, is_float)]
+        return jtu.tree_unflatten(treedef, full)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(mesh_cfg.dp_axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def body(ids_shard, float_leaves, camera_rep):
+        def chunk_loss(fl, ids_chunk):
+            scene_l = merged(fl)
+            if backend == "mega":
+                closest = any_hit = None
+            else:
+                closest, any_hit = make_intersectors(scene_l, cfg,
+                                                     backend=backend)
+            seeds = rng.pixel_seeds(ids_chunk, jnp.uint32(frame))
+            o, d = generate_rays(camera_rep, cfg, ids_chunk, seeds)
+            if backend == "mega":
+                rad = mega_mod.trace_paths_mega(scene_l, cfg, o, d, seeds)
+            else:
+                rad = trace_paths(scene_l, cfg, o, d, seeds, closest,
+                                  any_hit)
+            return jnp.sum(rad) / denom
+
+        chunks = ids_shard.reshape(grad_buckets, -1)
+        vg = jax.value_and_grad(chunk_loss)
+        loss_acc = jnp.zeros(())
+        g_acc = None
+        for b in range(grad_buckets):
+            loss_b, g_b = vg(float_leaves, chunks[b])
+            loss_acc = loss_acc + loss_b
+            if grad_buckets > 1:
+                # Overlapped placement: this bucket's all-reduce issues
+                # now, concurrent with the next bucket's fwd+bwd.
+                g_b = jtu.tree_map(
+                    lambda x: jax.lax.psum(x, mesh_cfg.dp_axis), g_b)
+            g_acc = g_b if g_acc is None else jtu.tree_map(
+                jnp.add, g_acc, g_b)
+        if grad_buckets == 1:
+            g_acc = jtu.tree_map(
+                lambda x: jax.lax.psum(x, mesh_cfg.dp_axis), g_acc)
+        loss = jax.lax.psum(loss_acc, mesh_cfg.dp_axis)
+        return loss, g_acc
+
+    float_in = [l for l, isf in zip(leaves, is_float) if isf]
+    loss, gfloat = jax.jit(body)(pixel_ids, float_in, camera)
+    it = iter(gfloat)
+    out = [next(it) if isf else jnp.zeros_like(leaf)
+           for leaf, isf in zip(leaves, is_float)]
+    return loss, jtu.tree_unflatten(treedef, out)

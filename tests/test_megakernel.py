@@ -132,6 +132,25 @@ def test_scene_grads_match_bruteforce(cornell):
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
 
 
+def test_bwd_residuals_match_recompute(cornell):
+    """cfg.bwd_residuals=True (known-value residual replay — zero
+    transcendentals/RNG in the backward kernel) must produce the same
+    gradients as the default in-kernel recompute, for every float leaf,
+    across both specular models and shadow rays."""
+    for kw in ({}, {"specular_model": "ggx"}, {"shadow_rays": True}):
+        cfg_r = _cfg("mega", width=16, height=16, bounces=2, **kw)
+        cfg_s = _cfg("mega", width=16, height=16, bounces=2,
+                     bwd_residuals=True, **kw)
+        loss = lambda img: jnp.mean(img)
+        g_r = gradlib.scene_grad(cornell, CAM, cfg_r, loss)
+        g_s = gradlib.scene_grad(cornell, CAM, cfg_s, loss)
+        for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                        jax.tree_util.tree_leaves(g_s)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+
+
 def test_camera_grads_match_bruteforce(cornell):
     """d loss / d camera chains through generate_rays via the megakernel's
     d_origin / d_direction outputs."""

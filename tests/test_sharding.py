@@ -172,3 +172,52 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 256, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_ep_render_matches_single(cornell, reference_image):
+    """EP-integrated path tracer (material-routed per-bounce shading,
+    parallel/expert.render_sample_ep) must match the single-device
+    render exactly: same RNG sites, routed Kd/Ks/Ke/Ns fetched from the
+    owner's shard only."""
+    from mini_opencl_raytracer_tpu.parallel.expert import render_sample_ep
+    mesh_cfg = MeshConfig(dp=8, tp=1)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_ep(cornell, CAM, CFG, mesh,
+                                      ep_axis=mesh_cfg.dp_axis))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-5, atol=1e-5)
+
+
+def test_ep_render_capacity_overflow_fallback(cornell, reference_image):
+    """A deliberately undersized capacity drops most rays from the
+    dispatch; the local fallback must keep the image exact."""
+    from mini_opencl_raytracer_tpu.parallel.expert import render_sample_ep
+    mesh_cfg = MeshConfig(dp=8, tp=1)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+    img = np.asarray(render_sample_ep(cornell, CAM, CFG, mesh,
+                                      ep_axis=mesh_cfg.dp_axis,
+                                      capacity=4))
+    np.testing.assert_allclose(img, reference_image, rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_dp_bucketed_grads_match(cornell):
+    """Manual-psum training step: bucketed (overlapped placement) and
+    single-psum gradients must both equal the single-device gradient."""
+    from mini_opencl_raytracer_tpu.parallel.shard import train_step_dp
+    mesh_cfg = MeshConfig(dp=8, tp=1)
+    mesh = mesh_mod.make_mesh(mesh_cfg)
+
+    loss1, g1 = train_step_dp(cornell, CAM, CFG, mesh, mesh_cfg=mesh_cfg,
+                              grad_buckets=1)
+    loss4, g4 = train_step_dp(cornell, CAM, CFG, mesh, mesh_cfg=mesh_cfg,
+                              grad_buckets=4)
+
+    def loss_single(kd):
+        s = cornell.replace(materials=cornell.materials.replace(diffuse=kd))
+        return jnp.mean(mrt.render_sample(s, CAM, CFG))
+
+    g_ref = np.asarray(jax.grad(loss_single)(cornell.materials.diffuse))
+    np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1.materials.diffuse), g_ref,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g4.materials.diffuse), g_ref,
+                               rtol=1e-4, atol=1e-6)
