@@ -33,6 +33,7 @@ cfg.sort_rays) so their tiles stay compact too.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -219,8 +220,9 @@ NSLOTS = 16
 # reference's per-ray traversal early-out, kernel_bvh.cl:199-208).
 # Static split because Mosaic cannot slice the lane axis dynamically;
 # tile-swizzled coherent packets concentrate each cluster's rays in one
-# or two sub-tiles, so most visits skip 3/4 of the tile.
-_GROUPS = 4
+# or two sub-tiles, so most visits skip 3/4 of the tile. (Env override
+# for benchmark sweeps only; 1 = compaction off.)
+_GROUPS = int(os.environ.get("MRT_CLUSTER_GROUPS", "4"))
 _GLANES = _TILE // _GROUPS
 
 
