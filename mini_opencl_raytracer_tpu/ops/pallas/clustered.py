@@ -48,10 +48,16 @@ from ..intersect import Hit
 from . import megakernel as mk
 
 _LANES = 128
-_ROWS = 16           # ray rows per grid step (one descent per 2048 rays)
+# Ray rows per grid step (one descent per _ROWS*128 rays; env override
+# for benchmark sweeps only).
+_ROWS = int(os.environ.get("MRT_CLUSTER_ROWS", "16"))
 _TILE = _LANES * _ROWS
-CLUSTER = 128        # triangles per cluster (M-T matmul block)
-SUPER = 64           # clusters per super-cluster
+# Triangles per cluster (M-T matmul block) and clusters per
+# super-cluster. Bigger clusters trade wasted M-T lanes (cheap, MXU)
+# for fewer per-cluster scalar descent decisions (expensive, serial) —
+# swept on v5e via the env overrides (benchmarks only; read at import).
+CLUSTER = int(os.environ.get("MRT_CLUSTER", "128"))
+SUPER = int(os.environ.get("MRT_SUPER", "64"))
 _MTG_LANES = 128     # limb-table lanes (96 used, padded to a lane tile)
 
 _BIG = 3.0e38
@@ -180,14 +186,16 @@ def build_clusters(geometry: Geometry,
     )
 
 
-def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far):
+def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far,
+                with_tmin: bool = False):
     """[N, 128] slab test: AABB column slices ([N,1]) vs a ray row
-    ([1,128] origin + inverse-direction components). Returns hit mask.
-    Matches RayBounds semantics (kernel_bvh.cl:156-169) with min/max
-    instead of sign indexing. ``t_far`` is a per-lane [1, 128] bound —
-    each ray culls against its OWN current closest hit (the reference's
-    ``min(tmax, t)``, kernel_bvh.cl:167), so one far ray no longer
-    disables culling for the other 127 lanes."""
+    ([1,128] origin + inverse-direction components). Returns hit mask
+    (and, with ``with_tmin``, the per-pair clamped entry distance,
+    _BIG where missed). Matches RayBounds semantics (kernel_bvh.cl:
+    156-169) with min/max instead of sign indexing. ``t_far`` is a
+    per-lane [1, 128] bound — each ray culls against its OWN current
+    closest hit (the reference's ``min(tmax, t)``, kernel_bvh.cl:167),
+    so one far ray no longer disables culling for the other 127 lanes."""
     lox, loy, loz, hix, hiy, hiz = aabb_cols
     tx1 = (lox - ox) * ix
     tx2 = (hix - ox) * ix
@@ -201,7 +209,11 @@ def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far):
     tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
                                    jnp.maximum(ty1, ty2)),
                        jnp.maximum(tz1, tz2))
-    return (jnp.minimum(tmax, t_far) >= jnp.maximum(tmin, 0.0))
+    entry = jnp.maximum(tmin, 0.0)
+    hit = jnp.minimum(tmax, t_far) >= entry
+    if with_tmin:
+        return hit, jnp.where(hit, entry, _BIG)
+    return hit
 
 
 def _aabb_cols(ref, start, n):
@@ -211,7 +223,7 @@ def _aabb_cols(ref, start, n):
 # Concurrent cluster-DMA slots per super visit. All hit clusters' copies
 # launch before the first intersection waits on one — full copy/compute
 # overlap within a super (NSLOTS x [CLUSTER, 128] f32 = 512 KB VMEM).
-NSLOTS = 16
+NSLOTS = int(os.environ.get("MRT_CLUSTER_NSLOTS", "16"))
 
 # Ray-compaction granularity: the 2048-lane tile is split into _GROUPS
 # static sub-tiles of _GLANES lanes; each visited cluster's MXU pass and
@@ -225,6 +237,13 @@ NSLOTS = 16
 _GROUPS = int(os.environ.get("MRT_CLUSTER_GROUPS", "4"))
 _GLANES = _TILE // _GROUPS
 
+# mask_scratch column of the per-super packet entry distance (doubles
+# as the visited flag: set to _BIG once visited). Columns 1/2 hold the
+# per-cluster hit/slot data of the super being visited; 3..3+_GROUPS-1
+# the sub-tile compaction masks.
+_COL_TMIN = 3 + _GROUPS
+_MASK_COLS = max(8, _COL_TMIN + 1)
+
 
 def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -236,20 +255,29 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     flattened into 2048 lanes), Moller-Trumbore determinants on the MXU.
 
     ``mtg_ref`` (the limb-packed M-T table, megakernel.mt_limb_rows)
-    lives in HBM — a large scene cannot be VMEM-resident. Per visited
-    super the kernel (a) slab-tests all SUPER cluster AABBs as one
-    [SUPER, TILE] panel, (b) assigns DMA slots to hit clusters with a
-    vector cumsum, (c) launches up to NSLOTS async copies back-to-back,
-    then (d) drains them in order; each landed [4*CLUSTER, 128] bf16
-    block is one K=128 MXU pass against the tile's limb-packed ray
+    lives in HBM — a large scene cannot be VMEM-resident. Supers are
+    visited FRONT TO BACK by packet entry distance (argmin loop over
+    the recorded slab tmin column — the packet analog of the
+    reference's near-child-first stack order, kernel_bvh.cl:200-207)
+    and each visit re-slabs the super against the current per-lane
+    best t, so occluded supers cost one [1, TILE] slab and no DMA.
+    Per live super the kernel (a) slab-tests all SUPER cluster AABBs as
+    one [SUPER, TILE] panel, (b) assigns DMA slots to hit clusters with
+    a vector cumsum, (c) launches up to NSLOTS async copies
+    back-to-back, then (d) drains them in order; each landed
+    [4*CLUSTER, 128] bf16 block is one K=128 MXU pass per hit sub-tile
+    (ray compaction, see _GROUPS) against the tile's limb-packed ray
     features, leaving the VPU the sign tests + closest reduction
     (exactly megakernel._mt_closest's epilogue). Scalar descent
     decisions are amortized over 2048 rays instead of 128.
 
-    mask_scratch column map: 0 = super any-hit counts, 1 = cluster
-    any-hit counts (current super), 2 = cluster DMA slot ids, 3..3+G =
-    per-sub-tile cluster hit masks (ray compaction, see _GROUPS);
-    ``slot_tbl`` (SMEM) maps DMA slot -> cluster index within the super.
+    mask_scratch column map: 1 = cluster any-hit masks (current super),
+    2 = cluster DMA slot ids, 3..3+G-1 = per-sub-tile cluster hit masks
+    (_GROUPS), _COL_TMIN = per-super packet entry distance / visited
+    flag; ``slot_tbl`` (SMEM) maps DMA slot -> cluster index within the
+    super. Note on ties: visit order is distance-sorted, so exact-t
+    ties across supers resolve to the nearer-entry super's triangle
+    rather than the global smallest index.
     """
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (CLUSTER, _GLANES), 0).astype(jnp.float32)
@@ -316,16 +344,51 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                     best_scratch[1:2, lo:lo + _GLANES])
 
     # Level 0: all super-cluster AABBs vs the tile, each lane bounded by
-    # its own t_init (per-ray culling).
-    sup_hit = _slab_panel(
+    # its own t_init (per-ray culling), PLUS the packet's entry distance
+    # per super — the visit loop below walks supers FRONT TO BACK by
+    # that distance (the packet analog of the reference's
+    # near-child-first stack order, kernel_bvh.cl:200-207). Without the
+    # ordering, index-order visits defeat occlusion culling entirely on
+    # deep scenes: every tile streams nearly the whole M-T table before
+    # its closest hits tighten t_far. With it, the first supers resolve
+    # most lanes and the RE-slab at each later visit (against the
+    # updated per-lane best t) skips everything behind them.
+    sup_hit, sup_tmin = _slab_panel(
         _aabb_cols(sup_ref, 0, num_supers),
-        ox, oy, oz, ix, iy, iz, t_init)              # [S, TILE]
-    mask_scratch[pl.ds(0, num_supers), 0:1] = jnp.sum(
-        sup_hit.astype(jnp.float32), axis=1, keepdims=True)
+        ox, oy, oz, ix, iy, iz, t_init, with_tmin=True)   # [S, TILE]
+    any_hit = jnp.max(sup_hit.astype(jnp.float32), axis=1, keepdims=True)
+    entry = jnp.min(sup_tmin, axis=1, keepdims=True)      # [S, 1]
+    mask_scratch[pl.ds(0, num_supers), _COL_TMIN:_COL_TMIN + 1] = (
+        jnp.where(any_hit > 0.0, entry, _BIG))
+    sup_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (num_supers, 1), 0).astype(jnp.float32)
 
-    def super_body(s, _):
-        @pl.when(mask_scratch[s, 0] > 0.0)
+    def visit_body(step, _):
+        # Nearest unvisited super (visited = entry column set to _BIG).
+        tcol = mask_scratch[pl.ds(0, num_supers), _COL_TMIN:_COL_TMIN + 1]
+        tm = jnp.min(tcol)
+        s = jnp.min(jnp.where(tcol <= tm, sup_iota, _BIG)).astype(
+            jnp.int32)
+
+        @pl.when(tm < 0.5 * _BIG)
         def _():
+            # Mark visited.
+            mask_scratch[pl.ds(s, 1), _COL_TMIN:_COL_TMIN + 1] = (
+                jnp.full((1, 1), _BIG, jnp.float32))
+            # Re-slab this super against the CURRENT per-lane best —
+            # supers behind every lane's closest hit vanish here,
+            # before any cluster work or DMA.
+            t_far = best_scratch[0:1, :]
+            s_live = _slab_panel(_aabb_cols(sup_ref, s, 1),
+                                 ox, oy, oz, ix, iy, iz, t_far)
+            live_f = jnp.max(s_live.astype(jnp.float32))
+
+            @pl.when(live_f > 0.0)
+            def _():
+                _visit_super(s)
+        return 0
+
+    def _visit_super(s):
             # Per-lane current-best bound (kernel_bvh.cl:167): rays that
             # already found a nearer hit stop opening clusters behind
             # it, independently of the other lanes.
@@ -408,9 +471,8 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                             jnp.float32((s * SUPER + j) * CLUSTER), j)
                     return 0
                 jax.lax.fori_loop(0, SUPER, leftover, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_supers, super_body, 0)
+    jax.lax.fori_loop(0, num_supers, visit_body, 0)
 
     tout_ref[:] = best_scratch[0:1, :].reshape(_ROWS, _LANES)
     idx_ref[:] = (best_scratch[1:2, :].reshape(_ROWS, _LANES)
@@ -453,7 +515,8 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
             jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((max(S_rows, SUPER), 8), jnp.float32),  # masks
+            pltpu.VMEM((max(S_rows, SUPER), _MASK_COLS),
+                       jnp.float32),                           # masks
             pltpu.VMEM((8, _TILE), jnp.float32),               # best t/idx
             pltpu.VMEM((NSLOTS, 4 * CLUSTER, _MTG_LANES),
                        jnp.bfloat16),                          # M-T blocks

@@ -1022,6 +1022,241 @@ def _bounce_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref,
 
 
 # ---------------------------------------------------------------------------
+# Raygen-fused bounce 0: camera rays + per-pixel seeds generated INSIDE
+# the first bounce kernel (the reference does raygen in-kernel too —
+# CreateRay from get_global_id, kernel_bvh.cl:386-403, 441-447). Kills
+# the separate XLA raygen/seed-hash kernels and the o/d/seeds HBM round
+# trip into bounce 0 — the whole cost of a 1-bounce frame becomes one
+# pallas_call (the round-3 'config 1 is launch-bound' fix).
+
+# raygen constant-tile rows ([3, ROWS, 128] u32): premixed jitter-site
+# counters and the premixed frame term of ops/rng.pixel_seeds.
+_RG_JX, _RG_JY, _RG_FRAME = 0, 1, 2
+# camera vector columns ([1, 16] f32).
+_CAM_POS, _CAM_RIGHT, _CAM_UP, _CAM_FRONT = 0, 3, 6, 9
+
+
+def _raygen_tiles(pxy, camv, rgcm, cfg: RenderConfig):
+    """In-kernel jittered pinhole raygen — bit-identical math to
+    ops/camera.generate_rays + ops/rng.pixel_seeds over [ROWS, 128]
+    tiles. ``pxy``: (px, py) f32 tiles; ``camv``: [1, 16] traced camera
+    vector (differentiable); ``rgcm``: [3, ROWS, 128] u32 constants.
+    Returns (o3, d3, seeds)."""
+    px, py = pxy
+    pid = (py.astype(jnp.int32) * cfg.width
+           + px.astype(jnp.int32)).astype(jnp.uint32)
+    seeds = _mix_u32(pid ^ rgcm[_RG_FRAME])
+    jx = _uniform_cm(seeds, rgcm[_RG_JX])
+    jy = _uniform_cm(seeds, rgcm[_RG_JY])
+
+    inv_w = 1.0 / float(cfg.width)
+    inv_h = 1.0 / float(cfg.height)
+    aspect = float(cfg.width) / float(cfg.height)
+    angle = float(np.tan(np.float32(0.5 * cfg.fov_deg * np.pi / 180.0)))
+    x = (2.0 * (px + jx) * inv_w - 1.0) * angle * aspect
+    y = (1.0 - 2.0 * (py + jy) * inv_h) * angle
+
+    def c3(off):
+        return (camv[0, off], camv[0, off + 1], camv[0, off + 2])
+
+    right, up, front = c3(_CAM_RIGHT), c3(_CAM_UP), c3(_CAM_FRONT)
+    d3 = _normalize3((x * right[0] + y * up[0] + front[0],
+                      x * right[1] + y * up[1] + front[1],
+                      x * right[2] + y * up[2] + front[2]))
+    pos = c3(_CAM_POS)
+    zero = jnp.zeros_like(px)
+    o3 = (pos[0] + zero, pos[1] + zero, pos[2] + zero)
+    return o3, d3, seeds
+
+
+def _bounce0_fwd_kernel(tab_ref, mt_ref, lv_ref, cms_ref, cam_ref,
+                        pxy_ref, rgcm_ref,
+                        no_ref, nd_ref, nbeta_ref, naf_ref, rad_ref,
+                        idx_ref, occ_ref, seed_ref,
+                        *, cfg: RenderConfig, num_lights: int,
+                        mt_T_pad: int):
+    tableT = tab_ref[:]
+    lv = lv_ref[:]
+    cms = cms_ref[:]
+    o3, d3, seeds = _raygen_tiles((pxy_ref[0], pxy_ref[1]), cam_ref[:],
+                                  rgcm_ref[:], cfg)
+    ones = jnp.ones((_ROWS, _LANES), jnp.float32)
+    beta3 = (ones, ones, ones)
+    alive = ones > 0.0
+    zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
+
+    i_best = _mt_closest(mt_ref, o3, d3, cfg.t_max, cfg.backface_cull,
+                         mt_T_pad)
+    idx_ref[:] = i_best
+    at = _gather_attrs(tableT, i_best)
+    if cfg.shadow_rays:
+        shadow_fn = lambda so3, sd3, tlim: _mt_anyhit(
+            mt_ref, so3, sd3, tlim, cfg.backface_cull, mt_T_pad)
+    else:
+        shadow_fn = None
+    o3n, d3n, beta3n, rad3, alive_n, occ = _shade_bounce(
+        at, i_best, o3, d3, beta3, (zeros, zeros, zeros), alive, seeds,
+        cms, lv, num_lights, cfg, shadow_fn=shadow_fn)
+
+    for i in range(3):
+        no_ref[i] = o3n[i]
+        nd_ref[i] = d3n[i]
+        nbeta_ref[i] = beta3n[i]
+        rad_ref[i] = rad3[i]
+    naf_ref[:] = jnp.where(alive_n, 1.0, 0.0)
+    occ_ref[:] = occ
+    seed_ref[:] = seeds
+
+
+def _bounce0_bwd_kernel(tab_ref, lv_ref, cms_ref, cam_ref, pxy_ref,
+                        rgcm_ref, idx_ref, occ_in_ref,
+                        co_ref, cd_ref, cbeta_ref, crad_ref,
+                        dtab_ref, dlv_ref, dcam_ref,
+                        *, cfg: RenderConfig, num_lights: int):
+    """Backward of the raygen-fused bounce: replay raygen + shading with
+    the recorded winner indices / occlusion bits frozen; jax.vjp w.r.t.
+    (table, lights, camera vector) — camera gradients flow through the
+    in-kernel raygen chain."""
+    tableT = tab_ref[:]
+    lv = lv_ref[:]
+    cms = cms_ref[:]
+    camv = cam_ref[:]
+    pxy = (pxy_ref[0], pxy_ref[1])
+    rgcm = rgcm_ref[:]
+    i_best = idx_ref[:]
+    occ_bits = occ_in_ref[:] if cfg.shadow_rays else None
+    ones = jnp.ones((_ROWS, _LANES), jnp.float32)
+    zeros = jnp.zeros((_ROWS, _LANES), jnp.float32)
+
+    def replay(tabv, lvv, camvv):
+        o3, d3, seeds = _raygen_tiles(pxy, camvv, rgcm, cfg)
+        at = _gather_attrs(tabv, i_best)
+        o3n, d3n, beta3n, rad3, _, _ = _shade_bounce(
+            at, i_best, o3, d3, (ones, ones, ones), (zeros,) * 3,
+            ones > 0.0, seeds, cms, lvv, num_lights, cfg,
+            occ_bits=occ_bits)
+        return o3n, d3n, beta3n, rad3
+
+    _, vjp_fn = jax.vjp(replay, tableT, lv, camv)
+    cot = ((co_ref[0], co_ref[1], co_ref[2]),
+           (cd_ref[0], cd_ref[1], cd_ref[2]),
+           (cbeta_ref[0], cbeta_ref[1], cbeta_ref[2]),
+           (crad_ref[0], crad_ref[1], crad_ref[2]))
+    d_tab, d_lv, d_cam = vjp_fn(cot)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:] = jnp.zeros_like(dtab_ref)
+        dlv_ref[:] = jnp.zeros_like(dlv_ref)
+        dcam_ref[:] = jnp.zeros_like(dcam_ref)
+
+    dtab_ref[:] += d_tab
+    dlv_ref[:] += d_lv
+    dcam_ref[:] += d_cam
+
+
+def _run_bounce0_fwd(tableT, lv, mt_table, camv, pxy, rgcms, cms,
+                     cfg: RenderConfig):
+    T_pad = tableT.shape[1]
+    mt_T_pad = mt_table.shape[0] // 4
+    num_lights = lv.shape[0]
+    n_rows = pxy.shape[1]
+    grid = (n_rows // _ROWS,)
+
+    kernel = functools.partial(_bounce0_fwd_kernel, cfg=cfg,
+                               num_lights=num_lights, mt_T_pad=mt_T_pad)
+    vec_shape = jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32)
+    scal_shape = jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32)
+    pxy_spec = pl.BlockSpec((2, _ROWS, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec((_C_PAD, T_pad)),
+                  _const_spec(mt_table.shape),
+                  _const_spec((num_lights, _LCOLS)),
+                  _const_spec((_NUM_SITES, _ROWS, _LANES)),
+                  _const_spec((1, 16)),
+                  pxy_spec,
+                  _const_spec((3, _ROWS, _LANES))],
+        out_specs=(_vec_spec(), _vec_spec(), _vec_spec(),
+                   _scalar_spec(), _vec_spec(), _scalar_spec(),
+                   _scalar_spec(), _scalar_spec()),
+        out_shape=(vec_shape, vec_shape, vec_shape, scal_shape, vec_shape,
+                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_rows, _LANES), jnp.uint32)),
+        interpret=_interpret(),
+    )(tableT, mt_table, lv, cms, camv, pxy, rgcms)
+
+
+def _run_bounce0_bwd(tableT, lv, camv, pxy, rgcms, cms, idx, occ, cot,
+                     cfg: RenderConfig):
+    T_pad = tableT.shape[1]
+    num_lights = lv.shape[0]
+    n_rows = pxy.shape[1]
+    grid = (n_rows // _ROWS,)
+    co, cd, cbeta, crad = cot
+
+    kernel = functools.partial(_bounce0_bwd_kernel, cfg=cfg,
+                               num_lights=num_lights)
+    pxy_spec = pl.BlockSpec((2, _ROWS, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec((_C_PAD, T_pad)),
+                  _const_spec((num_lights, _LCOLS)),
+                  _const_spec((_NUM_SITES, _ROWS, _LANES)),
+                  _const_spec((1, 16)),
+                  pxy_spec,
+                  _const_spec((3, _ROWS, _LANES)),
+                  _scalar_spec(), _scalar_spec(),
+                  _vec_spec(), _vec_spec(), _vec_spec(), _vec_spec()],
+        out_specs=(_const_spec((_C_PAD, T_pad)),
+                   _const_spec((num_lights, _LCOLS)),
+                   _const_spec((1, 16))),
+        out_shape=(jax.ShapeDtypeStruct((_C_PAD, T_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((num_lights, _LCOLS), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 16), jnp.float32)),
+        interpret=_interpret(),
+    )(tableT, lv, cms, camv, pxy, rgcms, idx, occ, co, cd, cbeta, crad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _bounce0(tableT, lv, mt_table, camv, pxy, rgcms, cms,
+             cfg: RenderConfig):
+    """Differentiable raygen-fused first bounce: (pixels, camera) ->
+    next ray state + bounce-0 radiance + the per-pixel seed panel the
+    remaining bounces consume."""
+    no, nd, nbeta, naf, rad, _, _, seeds = _run_bounce0_fwd(
+        tableT, lv, mt_table, camv, pxy, rgcms, cms, cfg)
+    return no, nd, nbeta, naf, rad, seeds
+
+
+def _bounce0_fwd(tableT, lv, mt_table, camv, pxy, rgcms, cms, cfg):
+    no, nd, nbeta, naf, rad, idx, occ, seeds = _run_bounce0_fwd(
+        tableT, lv, mt_table, camv, pxy, rgcms, cms, cfg)
+    res = (tableT, lv, camv, pxy, rgcms, cms, idx, occ, mt_table.shape)
+    return (no, nd, nbeta, naf, rad, seeds), res
+
+
+def _bounce0_bwd(cfg, res, cots):
+    tableT, lv, camv, pxy, rgcms, cms, idx, occ, mt_shape = res
+    co, cd, cbeta, _caf, crad, _cseeds = cots
+    d_tab, d_lv, d_cam = _run_bounce0_bwd(
+        tableT, lv, camv, pxy, rgcms, cms, idx, occ,
+        (co, cd, cbeta, crad), cfg)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    d_mt = jnp.zeros(mt_shape, jnp.bfloat16)
+    return (d_tab, d_lv, d_mt, d_cam, jnp.zeros_like(pxy), f0(rgcms),
+            f0(cms))
+
+
+_bounce0.defvjp(_bounce0_fwd, _bounce0_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Backward bounce kernel: replay ONE bounce with the recorded winner
 # indices frozen and run jax.vjp of the replay inside the kernel. The
 # replay substitutes recorded known-values for every transcendental
@@ -1297,6 +1532,63 @@ def eligible(scene: Scene, cfg: RenderConfig) -> bool:
     return (scene.num_triangles <= _MAX_TRIS
             and scene.lights.count <= 30   # occlusion bitmask is int32
             and cfg.jnp_dtype() == jnp.float32)
+
+
+def trace_paths_mega_cam(scene: Scene, cfg: RenderConfig, camera,
+                         pixel_ids: jax.Array, frame) -> jax.Array:
+    """trace_paths_mega with raygen fused into the first bounce kernel:
+    (camera, pixel ids, frame) -> radiance [R, 3], no host-side
+    generate_rays / pixel_seeds and no o/d/seeds HBM round trip into
+    bounce 0 (the reference's in-kernel CreateRay, kernel_bvh.cl:
+    441-447). Differentiable w.r.t. the scene AND the camera (the
+    bounce-0 VJP carries d_camera through the in-kernel raygen)."""
+    if not eligible(scene, cfg):
+        raise ValueError(
+            "megakernel backend requires <= %d triangles and float32 "
+            "(got T=%d, dtype=%s)"
+            % (_MAX_TRIS, scene.num_triangles, cfg.dtype))
+    from ..linalg import cross
+    tableT = build_mega_table(scene.geometry, scene.materials)
+    lv = pack_lights(scene.lights)
+    mt_table = build_mt_table(scene.geometry)
+    R = pixel_ids.shape[0]
+
+    px = (pixel_ids % jnp.uint32(cfg.width)).astype(jnp.float32)
+    py = (pixel_ids // jnp.uint32(cfg.width)).astype(jnp.float32)
+    pxy = jnp.stack([_to_panels(px, R), _to_panels(py, R)])
+    n_rows = pxy.shape[1]
+
+    camv = jnp.concatenate([
+        camera.position, cross(camera.front, camera.up), camera.up,
+        camera.front, jnp.zeros((4,))]).astype(jnp.float32)[None, :]
+
+    premix = (_mix_u32(jnp.uint32(frame)) + _GOLDEN).astype(jnp.uint32)
+    jx = np.uint32(_premixed_counter(0))   # rng.SITE_JITTER_X
+    jy = np.uint32(_premixed_counter(1))   # rng.SITE_JITTER_Y
+    tile = np.ones((_ROWS, _LANES), np.uint32)
+    rgcms = jnp.stack([jnp.asarray(tile * jx), jnp.asarray(tile * jy),
+                       jnp.broadcast_to(premix, (_ROWS, _LANES))])
+
+    o, d, beta, aliveF, rad, seeds_p = _bounce0(
+        tableT, lv, mt_table, camv, pxy, rgcms, _bounce_cms(0), cfg)
+
+    if cfg.bounces > 1:
+        cms_all = jnp.stack([_bounce_cms(b)
+                             for b in range(1, cfg.bounces)])
+
+        def body(carry, cms):
+            o, d, beta, aliveF, rad = carry
+            o, d, beta, aliveF, rad_add = _bounce(
+                tableT, lv, mt_table, o, d, beta, aliveF, seeds_p, cms,
+                cfg)
+            return (o, d, beta, aliveF, rad + rad_add), None
+
+        (_, _, _, _, rad), _ = jax.lax.scan(
+            body, (o, d, beta, aliveF, rad), cms_all)
+
+    rad = jnp.maximum(rad, 0.0)
+    return jnp.stack([rad[0].reshape(-1)[:R], rad[1].reshape(-1)[:R],
+                      rad[2].reshape(-1)[:R]], axis=-1)
 
 
 def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,

@@ -180,13 +180,16 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
         pixel_ids = jnp.arange(R, dtype=jnp.uint32)
 
     def one_spp(s, acc):
-        seeds = rng.pixel_seeds(pixel_ids,
-                                jnp.uint32(frame) * jnp.uint32(cfg.spp)
-                                + jnp.uint32(s))
-        o, d = generate_rays(camera, cfg, pixel_ids, seeds)
+        fr = jnp.uint32(frame) * jnp.uint32(cfg.spp) + jnp.uint32(s)
         if backend == "mega":
-            radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds)
+            # Raygen + seed hashing fused into the first bounce kernel
+            # (megakernel.trace_paths_mega_cam) — no host-side
+            # generate_rays and no o/d/seeds round trip through HBM.
+            radiance = mega_mod.trace_paths_mega_cam(scene, cfg, camera,
+                                                     pixel_ids, fr)
         else:
+            seeds = rng.pixel_seeds(pixel_ids, fr)
+            o, d = generate_rays(camera, cfg, pixel_ids, seeds)
             radiance = trace_paths(scene, cfg, o, d, seeds, closest, any_hit)
         return acc + radiance
 
