@@ -179,9 +179,19 @@ def _intersect_one(o, d, t_init, bvh: BVH, backface_cull: bool):
 
     def leaf_hit(leaf_id, best_t, best_slot):
         base = leaf_id * leaf
-        lv0 = jax.lax.dynamic_slice(bvh.pv0, (base, 0), (leaf, 3))
-        lv1 = jax.lax.dynamic_slice(bvh.pv1, (base, 0), (leaf, 3))
-        lv2 = jax.lax.dynamic_slice(bvh.pv2, (base, 0), (leaf, 3))
+        # KNOWN LIMIT (compiled TPU): under the per-ray vmap of the
+        # traversal while-loop, XLA's TPU gather lowering materializes
+        # a broadcast of the WHOLE padded triangle array per ray
+        # ([R, T_pad, 3] HBM — with either lax.dynamic_slice or this
+        # take), so the compiled bvh backend is bounded by
+        # R * T_pad * 12 bytes of HBM (~bunny at 256x256 OOMs). This
+        # pure-JAX path is the readable reference traversal; big scenes
+        # belong to the clustered Pallas kernel, which `auto` selects.
+        # Interpret/CPU runs are unaffected.
+        rows = base + jnp.arange(leaf)
+        lv0 = jnp.take(bvh.pv0, rows, axis=0)
+        lv1 = jnp.take(bvh.pv1, rows, axis=0)
+        lv2 = jnp.take(bvh.pv2, rows, axis=0)
         t, _, _, valid = ray_triangle(o[None, :], d[None, :], lv0, lv1, lv2,
                                       backface_cull=backface_cull)
         t = jnp.where(valid & (t < best_t), t, jnp.inf)

@@ -60,33 +60,53 @@ def _ray_sort_keys(o: jax.Array, d: jax.Array, lo: jax.Array,
 
 def _sorted_wavefront(scene: Scene, intersect_fn, occluder_fn):
     """Wrap the intersectors to run on a coherence-sorted permutation of
-    the wavefront, scattering results back to ray order. Per-ray values
+    the wavefront, restoring ray order on the way out. Per-ray values
     are unchanged (each lane's result depends only on its own ray); only
-    the 128-lane packet composition the Pallas kernels see changes."""
+    the 128-lane packet composition the Pallas kernels see changes.
+
+    The permutation rides as sort PAYLOAD (one multi-operand
+    ``lax.sort`` each way, carrying the ray state / results alongside
+    the keys) instead of argsort + fancy indexing: XLA's TPU gather and
+    scatter are row-at-a-time (measured ~11 ms to permute one 512x512
+    wavefront's [R, 3] pair — twice the cost of the sort itself), while
+    co-sorted payload columns move at sort speed."""
     g = scene.geometry
     pts = jnp.concatenate([g.v0, g.v1, g.v2], axis=0)
     lo = jax.lax.stop_gradient(jnp.min(pts, axis=0))
     hi = jax.lax.stop_gradient(jnp.max(pts, axis=0))
 
-    def sort_perm(o, d):
+    def forward_sort(o, d, extra=()):
         keys = _ray_sort_keys(jax.lax.stop_gradient(o),
                               jax.lax.stop_gradient(d), lo, hi)
-        return jnp.argsort(keys)
+        ridx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+        ops = (keys, ridx, o[:, 0], o[:, 1], o[:, 2],
+               d[:, 0], d[:, 1], d[:, 2]) + tuple(extra)
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        os = jnp.stack(out[2:5], axis=-1)
+        ds = jnp.stack(out[5:8], axis=-1)
+        return out[1], os, ds, out[8:]
+
+    def backward_sort(ridx, results):
+        """Restore ray order: sort the result columns by original id."""
+        out = jax.lax.sort((ridx,) + tuple(results), num_keys=1,
+                           is_stable=True)
+        return out[1:]
 
     def closest(o, d):
-        perm = sort_perm(o, d)
-        h = intersect_fn(o[perm], d[perm])
-        unscatter = lambda x: jnp.zeros_like(x).at[perm].set(x)
-        return Hit(t=unscatter(h.t), tri_idx=unscatter(h.tri_idx),
-                   hit=unscatter(h.hit))
+        ridx, os, ds, _ = forward_sort(o, d)
+        h = intersect_fn(os, ds)
+        t, tri, hitc = backward_sort(
+            ridx, (h.t, h.tri_idx, h.hit.astype(jnp.int32)))
+        return Hit(t=t, tri_idx=tri, hit=hitc > 0)
 
     if occluder_fn is None:
         return closest, None
 
     def any_hit(o, d, t_limit):
-        perm = sort_perm(o, d)
-        blocked = occluder_fn(o[perm], d[perm], t_limit[perm])
-        return jnp.zeros_like(blocked).at[perm].set(blocked)
+        ridx, os, ds, (tl,) = forward_sort(o, d, extra=(t_limit,))
+        blocked = occluder_fn(os, ds, tl)
+        (bl,) = backward_sort(ridx, (blocked.astype(jnp.int32),))
+        return bl > 0
 
     return closest, any_hit
 
