@@ -42,12 +42,17 @@ def main() -> int:
     g = step(scene)
     jax.block_until_ready(g)
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(scene)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
+    # Median of per-iteration times, each synchronized: trailing-only
+    # sync under-reports on the remote-TPU rig's async queue, and the
+    # shared rig shows multi-x slow windows — median of 7 is robust to
+    # both without inventing a best-case number.
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(scene))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     rays = W * H * B
     rays_per_s = rays / dt

@@ -89,6 +89,13 @@ class RenderConfig:
     # the scan body): trades recompute for activation memory so full-res
     # gradient renders fit in HBM.
     remat: bool = True
+    # Fuse camera raygen + per-pixel seed hashing into the megakernel's
+    # first bounce (megakernel.trace_paths_mega_cam) instead of running
+    # them as XLA ops. Big win for launch-bound small frames (config 1:
+    # ~1 ms of XLA raygen glue removed from a ~2.5 ms frame); for
+    # differentiable steps the fused bounce-0 backward also carries the
+    # camera-gradient accumulation in-kernel.
+    fused_raygen: bool = True
     # Megakernel backward mode: False (default) re-derives the forward
     # shading intermediates inside the backward kernel; True streams
     # them out of the forward kernel as known-value residuals (~17

@@ -181,12 +181,16 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def one_spp(s, acc):
         fr = jnp.uint32(frame) * jnp.uint32(cfg.spp) + jnp.uint32(s)
-        if backend == "mega":
+        if backend == "mega" and cfg.fused_raygen:
             # Raygen + seed hashing fused into the first bounce kernel
             # (megakernel.trace_paths_mega_cam) — no host-side
             # generate_rays and no o/d/seeds round trip through HBM.
             radiance = mega_mod.trace_paths_mega_cam(scene, cfg, camera,
                                                      pixel_ids, fr)
+        elif backend == "mega":
+            seeds = rng.pixel_seeds(pixel_ids, fr)
+            o, d = generate_rays(camera, cfg, pixel_ids, seeds)
+            radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds)
         else:
             seeds = rng.pixel_seeds(pixel_ids, fr)
             o, d = generate_rays(camera, cfg, pixel_ids, seeds)

@@ -14,14 +14,19 @@ import jax
 
 
 def time_fn(f: Callable[[], Any], iters: int = 5, warmup: int = 1) -> float:
-    """Mean wall-clock seconds per call, synchronized on device output."""
+    """Mean wall-clock seconds per call, synchronized on device output.
+
+    Blocks on EVERY iteration: blocking only on the last output lets
+    the async dispatch queue under-report small frames by orders of
+    magnitude on the remote-TPU rig (observed 0.1 ms "frames" for work
+    that takes 2.5 ms synchronized). The per-call dispatch overhead
+    this adds (~0.1 ms) is part of the honest end-to-end frame time.
+    """
     for _ in range(warmup):
         jax.block_until_ready(f())
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        out = f()
-    jax.block_until_ready(out)
+        jax.block_until_ready(f())
     return (time.perf_counter() - t0) / iters
 
 

@@ -203,3 +203,14 @@ def test_mega_rng_matches_reference_sites():
                 mk._premixed_counter(counter)))
             got = mk._uniform_cm(seeds, cm)
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_mega_spp_and_frames_match_bruteforce(cornell):
+    """Multi-spp/multi-frame accumulation through the raygen-fused
+    bounce-0 kernel (per-sample frame seeds hashed in-kernel) must
+    match the oracle path exactly."""
+    cfg_b = _cfg("bruteforce", width=16, height=16, bounces=2, spp=2)
+    cfg_m = _cfg("mega", width=16, height=16, bounces=2, spp=2)
+    i_b = np.asarray(mrt.render_radiance(cornell, CAM, cfg_b, frames=2))
+    i_m = np.asarray(mrt.render_radiance(cornell, CAM, cfg_m, frames=2))
+    np.testing.assert_allclose(i_m, i_b, atol=2e-5, rtol=1e-4)
