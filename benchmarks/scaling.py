@@ -65,6 +65,15 @@ def main() -> int:
                            backend=backend)
     rays = cfg.num_pixels * cfg.bounces
 
+    import dataclasses
+    # Two resolutions per dp: t(R) = F + V*R separates the per-sample
+    # FIXED cost F (dispatch, mesh collective setup, image assembly)
+    # from the VARIABLE per-ray cost V. Strong-scaling efficiency on V
+    # alone is the communication-free upper bound the fixed overhead
+    # hides (the dp render has zero collectives until assembly).
+    cfg_small = dataclasses.replace(cfg, width=128, height=128)
+    rays_small = cfg_small.num_pixels * cfg_small.bounces
+
     rows = []
     ref_img = None
     for dp in [1, 2, 4, 8]:
@@ -75,17 +84,25 @@ def main() -> int:
                     (mesh_cfg.dp_axis, mesh_cfg.tp_axis))
         f = jax.jit(lambda s: render_sample_dp(s, cam, cfg, mesh,
                                                mesh_cfg=mesh_cfg))
+        fs = jax.jit(lambda s: render_sample_dp(s, cam, cfg_small, mesh,
+                                                mesh_cfg=mesh_cfg))
         img = np.asarray(f(scene))
         if ref_img is None:
             ref_img = img
         else:
             np.testing.assert_allclose(img, ref_img, rtol=1e-4, atol=1e-4)
         sec = time_fn(lambda: f(scene), iters=5)
-        rows.append({"dp": dp, "ms": sec * 1e3,
+        sec_s = time_fn(lambda: fs(scene), iters=5)
+        # t = F + V * rays  ->  solve from the two workloads.
+        V = (sec - sec_s) / (rays - rays_small)
+        F = sec - V * rays
+        rows.append({"dp": dp, "ms": sec * 1e3, "ms_small": sec_s * 1e3,
+                     "fixed_ms": F * 1e3, "var_ms": V * rays * 1e3,
                      "mrays_per_s": rays / sec / 1e6})
         print(json.dumps(rows[-1]), flush=True)
 
     base = rows[0]["ms"]
+    base_var = rows[0]["var_ms"]
     path = os.path.join(os.path.dirname(__file__), "SCALING.md")
     with open(path, "w") as f:
         f.write("# DP strong-scaling (render_sample_dp)\n\n")
@@ -97,13 +114,21 @@ def main() -> int:
                     "CPU that XLA already multithreads at dp=1, so the "
                     "speedup column is a validation lower bound, not a "
                     "hardware scaling claim (see module docstring).\n\n")
-        f.write("| dp | ms/sample | Mrays/s | speedup | efficiency |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("Fixed/variable split per dp from two resolutions "
+                f"({cfg_small.width}^2 and {cfg.width}^2): t = F + V*R. "
+                "`var eff` is strong-scaling\nefficiency of the "
+                "variable (per-ray) part alone — the communication-free "
+                "upper bound\nthe fixed per-sample overhead hides.\n\n")
+        f.write("| dp | ms/sample | fixed ms | variable ms | Mrays/s | "
+                "speedup | efficiency | var eff |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             sp = base / r["ms"]
-            f.write(f"| {r['dp']} | {r['ms']:.1f} | "
-                    f"{r['mrays_per_s']:.1f} | {sp:.2f}x | "
-                    f"{sp / r['dp'] * 100:.0f}% |\n")
+            spv = base_var / max(r["var_ms"], 1e-9)
+            f.write(f"| {r['dp']} | {r['ms']:.1f} | {r['fixed_ms']:.1f} "
+                    f"| {r['var_ms']:.1f} | {r['mrays_per_s']:.1f} | "
+                    f"{sp:.2f}x | {sp / r['dp'] * 100:.0f}% | "
+                    f"{spv / r['dp'] * 100:.0f}% |\n")
         f.write("\nSharded images match the dp=1 image to 1e-4 at every "
                 "dp (asserted during the run).\n")
     print(f"wrote {path}", file=sys.stderr)

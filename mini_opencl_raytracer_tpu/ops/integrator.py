@@ -138,11 +138,30 @@ def trace_paths(
         jnp.ones((R,), bool),
         seeds,
     )
+    sort_on = (cfg.sort_rays if cfg.sort_rays is not None
+               else scene.num_triangles > SORT_RAYS_MIN_TRIS)
+    first = 0
+    stats0 = None
+    if sort_on:
+        # Primary rays arrive tile-swizzled (render._swizzled_ids) —
+        # already packet-coherent — so bounce 0 runs UNSORTED outside
+        # the scan, skipping one full sort+permute cycle per sample;
+        # only the genuinely incoherent secondary bounces pay for
+        # coherence sorting.
+        import dataclasses
+        step0 = make_bounce_step(scene,
+                                 dataclasses.replace(cfg, sort_rays=False),
+                                 intersect_fn, occluder_fn,
+                                 with_stats=with_stats)
+        init, stats0 = step0(init, jnp.int32(0))
+        first = 1
     (_, _, _, radiance, _, _), stats = jax.lax.scan(
-        step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
+        step, init, jnp.arange(first, cfg.bounces, dtype=jnp.int32))
     # Final clamp (kernel_bvh.cl:383).
     radiance = jnp.maximum(radiance, 0.0)
     if with_stats:
+        if stats0 is not None:
+            stats = jnp.concatenate([stats0[None], stats])
         return radiance, stats
     return radiance
 

@@ -106,8 +106,11 @@ def test_shadow_rays_darken(cornell):
 
 def test_sorted_wavefront_identical():
     """cfg.sort_rays permutes only the packet layout: per-ray radiance
-    must be bit-identical with sorting on and off (the sorted wavefront
-    is scattered back to ray order before shading)."""
+    must match with sorting on and off (the sorted wavefront is
+    restored to ray order before shading). Tolerance is compilation
+    noise only: the sorted path runs the (already coherent) primary
+    bounce outside the scan, so the same math compiles as a separate
+    XLA program."""
     import mini_opencl_raytracer_tpu.models.procedural as proc
     scene = proc.bunny_scene(target_tris=4000)  # small but > sort threshold
     cam = mrt.Camera.default()
@@ -116,7 +119,7 @@ def test_sorted_wavefront_identical():
         scene, cam, mrt.RenderConfig(sort_rays=False, **kw)))
     i1 = np.asarray(mrt.render_sample(
         scene, cam, mrt.RenderConfig(sort_rays=True, **kw)))
-    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(i1, i0, atol=2e-5, rtol=1e-4)
 
 
 def test_swizzle_roundtrip():
