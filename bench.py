@@ -34,22 +34,32 @@ def main() -> int:
     cfg = mrt.RenderConfig(width=W, height=H, bounces=B, backend="auto")
     backend = resolve_backend(scene, cfg)  # Cornell is mega-eligible
 
-    def loss(s):
-        return jnp.mean(mrt.render_sample(s, camera, cfg))
+    def loss(s, fr):
+        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr))
 
-    step = jax.jit(lambda s: gradlib.grad_float_leaves(loss, s))
+    step = jax.jit(lambda s, fr: gradlib.grad_float_leaves(
+        lambda s_: loss(s_, fr), s))
 
-    g = step(scene)
-    jax.block_until_ready(g)
+    import numpy as np
 
-    # Median of per-iteration times, each synchronized: trailing-only
-    # sync under-reports on the remote-TPU rig's async queue, and the
-    # shared rig shows multi-x slow windows — median of 7 is robust to
-    # both without inventing a best-case number.
+    def sync(out):
+        # Host fetch of one leaf: jax.block_until_ready can return
+        # before execution completes on the remote-TPU rig; a host
+        # round-trip is the only reliable barrier, and one leaf covers
+        # the whole (atomic) executable.
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    sync(step(scene, jnp.uint32(999)))
+
+    # Median of per-iteration times, each hard-synchronized and each on
+    # a DISTINCT frame seed: identical-argument calls can be served
+    # from a cache, and the shared rig has transient multi-x slow
+    # windows — distinct frames + host-fetch sync + median of 7 is
+    # robust to all three without inventing a best case.
     times = []
-    for _ in range(7):
+    for i in range(7):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(scene))
+        sync(step(scene, jnp.uint32(i)))
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]

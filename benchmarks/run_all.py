@@ -29,16 +29,23 @@ from mini_opencl_raytracer_tpu.utils.metrics import render_metrics, time_fn
 
 
 def _measure_forward(scene, cfg, camera, iters):
-    f = jax.jit(lambda s, c: mrt.render_sample(s, c, cfg))
-    sec = time_fn(lambda: f(scene, camera), iters=iters)
+    # frame varies per timed iteration so every execution is distinct,
+    # and the jitted fn returns a SCALAR mean: on the remote-TPU rig,
+    # block_until_ready on a large image buffer can return before the
+    # compute that fills it (observed 0.2 ms "frames" of 10+ ms of real
+    # work), while a scalar's readiness requires the whole render.
+    f = jax.jit(lambda s, c, fr: jnp.mean(
+        mrt.render_sample(s, c, cfg, frame=fr)))
+    sec = time_fn(lambda i: f(scene, camera, jnp.uint32(i)), iters=iters)
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
 def _measure_fwd_bwd(scene, cfg, camera, iters):
-    def loss(s):
-        return jnp.mean(mrt.render_sample(s, camera, cfg))
-    step = jax.jit(lambda s: gradlib.grad_float_leaves(loss, s))
-    sec = time_fn(lambda: step(scene), iters=iters)
+    def loss(s, fr):
+        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr))
+    step = jax.jit(lambda s, fr: gradlib.grad_float_leaves(
+        lambda s_: loss(s_, fr), s))
+    sec = time_fn(lambda i: step(scene, jnp.uint32(i)), iters=iters)
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
@@ -135,6 +142,17 @@ def main() -> int:
                 f.write(f"| {m['config']} | "
                         f"{m['seconds_per_frame']*1e3:.1f} | "
                         f"{m['mrays_per_second']:.1f} |\n")
+        f.write(
+            "\nTiming method: median of per-frame times, each frame on a"
+            " distinct seed and\nhard-synchronized by a host fetch "
+            "(utils.metrics.time_fn — `block_until_ready`\nis not a "
+            "reliable barrier on the tunneled-TPU rig, and "
+            "identical-argument calls\ncan be served cached). The rig "
+            "adds a per-call round-trip floor that varies by\nsession "
+            "(measured 2.5-33 ms for the same 512x512 frame hours "
+            "apart); small-frame\nrows are therefore dominated by rig "
+            "latency in bad windows — compare rows within\none run, "
+            "not across runs.\n")
     print(f"wrote {path}", file=sys.stderr)
     return 0
 

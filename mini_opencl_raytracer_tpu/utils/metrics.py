@@ -13,21 +13,47 @@ from typing import Any, Callable, Dict
 import jax
 
 
-def time_fn(f: Callable[[], Any], iters: int = 5, warmup: int = 1) -> float:
-    """Mean wall-clock seconds per call, synchronized on device output.
+def time_fn(f: Callable[..., Any], iters: int = 5, warmup: int = 1) -> float:
+    """Median wall-clock seconds per call, synchronized on device output.
 
-    Blocks on EVERY iteration: blocking only on the last output lets
-    the async dispatch queue under-report small frames by orders of
-    magnitude on the remote-TPU rig (observed 0.1 ms "frames" for work
-    that takes 2.5 ms synchronized). The per-call dispatch overhead
-    this adds (~0.1 ms) is part of the honest end-to-end frame time.
+    Rig realities shape this harness (all observed on the remote-TPU
+    tunnel):
+    * ``jax.block_until_ready`` can return BEFORE the execution that
+      fills the output (measured 0.2 ms "frames" of 30 ms of real
+      work), so each iteration synchronizes by fetching the first
+      output leaf to the HOST — the only reliable barrier here.
+      Callers should return a scalar (e.g. the image mean) so the
+      fetch is tiny; a single XLA executable completes atomically, so
+      one leaf's arrival covers the whole output.
+    * repeated executions with bit-identical arguments can be served
+      from a cache — so ``f`` is called with the iteration index,
+      which callers should feed into the computation (e.g. as the
+      frame seed). Zero-arg callables are accepted for convenience.
+    Median over iters is robust to the rig's transient slow windows.
     """
-    for _ in range(warmup):
-        jax.block_until_ready(f())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(f())
-    return (time.perf_counter() - t0) / iters
+    import inspect
+
+    import numpy as np
+
+    takes_arg = True
+    try:
+        inspect.signature(f).bind(0)
+    except TypeError:
+        takes_arg = False
+    call = (lambda i: f(i)) if takes_arg else (lambda i: f())
+
+    def sync(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    for w in range(warmup):
+        sync(call(1_000_000 + w))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        sync(call(i))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def bounce_occupancy(scene, camera, cfg, frame: int = 0):
