@@ -115,8 +115,12 @@ def cmd_render(args) -> int:
 def cmd_benchmark(args) -> int:
     from .render import resolve_backend
     scene, camera, cfg = _build(args)
-    f = jax.jit(lambda s, c: render_sample(s, c, cfg))
-    sec = time_fn(lambda: f(scene, camera), iters=args.iters)
+    # Scalar output + per-iteration frame seed: see utils.metrics.time_fn
+    # (host-fetch sync; distinct frames defeat identical-call caching).
+    f = jax.jit(lambda s, c, fr: jnp.mean(
+        render_sample(s, c, cfg, frame=fr)))
+    sec = time_fn(lambda i: f(scene, camera, jnp.uint32(i)),
+                  iters=args.iters)
     m = render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
     m.update(backend=resolve_backend(scene, cfg), width=cfg.width,
              height=cfg.height, bounces=cfg.bounces,
