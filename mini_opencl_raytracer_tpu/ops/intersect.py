@@ -51,6 +51,16 @@ class Hit:
     t: jax.Array        # [R] hit distance (t_max where miss)
     tri_idx: jax.Array  # [R] int32 triangle index (0 where miss)
     hit: jax.Array      # [R] bool
+    # Optional [R, ShadingTable.COLS] winner shading rows, populated by
+    # backends that can fetch them during traversal (the clustered
+    # kernel reads the winning cluster's attribute block it already
+    # DMA'd) — consumed by ops/shading.hit_attributes in place of its
+    # take_rows gather. None elsewhere; ZERO rows for misses (the jnp
+    # path gathers triangle 0's row there — every consumer is masked by
+    # ``hit``/liveness, so images and gradients agree; asserted by the
+    # cross-backend tests). Snapshot values (non-differentiable);
+    # hit_attributes restores the take_rows gradient via a custom VJP.
+    rows: jax.Array = None
 
 
 def ray_triangle(o: jax.Array, d: jax.Array,

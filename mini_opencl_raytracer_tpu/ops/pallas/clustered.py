@@ -80,14 +80,29 @@ class ClusteredGeometry(NamedTuple):
     cl_aabb: jax.Array      # [C_pad, 8] cluster lo.xyz, hi.xyz
     sup_aabb: jax.Array     # [S_pad, 8] super-cluster lo.xyz, hi.xyz
     slot_to_tri: jax.Array  # [T_pad] int32 -> original triangle index
+    # [T_pad, ATTR_COLS] f32 shading rows (ops/shading.ShadingTable
+    # layout) in cluster-slot order, or None when the accel was built
+    # without materials. Lets the kernel return the WINNER'S shading
+    # row from the cluster block it already has in VMEM — replacing the
+    # per-bounce XLA row gather (hit_attributes take_rows), which moves
+    # only ~17M rows/s on TPU. Snapshot values (stop-grad), like every
+    # accel field; gradients flow through the take_rows-equivalent
+    # custom VJP at ops/shading.hit_attributes.
+    attrs: jax.Array = None
 
     @property
     def num_supers(self) -> int:
         return self.sup_aabb.shape[0]
 
 
+# Shading-row columns carried by ``attrs``: ops/shading.ShadingTable
+# COLS (34), padded to a full lane tile — HBM->VMEM DMA slices must be
+# 128-aligned in the minor dimension (Mosaic tiling constraint).
+ATTR_COLS = 128
+
+
 def build_clusters(geometry: Geometry,
-                   leaf_info=None) -> ClusteredGeometry:
+                   leaf_info=None, materials=None) -> ClusteredGeometry:
     """Cluster the triangle soup and build the two AABB levels.
 
     ``leaf_info`` is an optional host-side (numpy) SAH layout from
@@ -97,6 +112,10 @@ def build_clusters(geometry: Geometry,
     this kernel instead of a node array). When None — or when tracing
     under jit, where host callbacks are unavailable — triangles are
     Morton-sorted into fixed-size range clusters with pure jnp ops.
+
+    With ``materials`` the accel also carries the per-triangle shading
+    rows in slot order (see ClusteredGeometry.attrs) so the kernel can
+    return winner attributes directly.
     """
     v0 = jax.lax.stop_gradient(geometry.v0).astype(jnp.float32)
     v1 = jax.lax.stop_gradient(geometry.v1).astype(jnp.float32)
@@ -178,11 +197,21 @@ def build_clusters(geometry: Geometry,
         out = out.at[:n, 3:6].set(hi_)
         return out
 
+    attrs = None
+    if materials is not None:
+        from ..shading import build_shading_table
+        st = jax.lax.stop_gradient(
+            build_shading_table(geometry, materials).table)
+        rows_ = jnp.take(st, order, axis=0)          # [T_pad, 34]
+        rows_ = jnp.where(real, rows_, 0.0)
+        attrs = jnp.pad(rows_, ((0, 0), (0, ATTR_COLS - rows_.shape[1])))
+
     return ClusteredGeometry(
         mtg=mtg,
         cl_aabb=pack_aabb(cl_lo, cl_hi),
         sup_aabb=pack_aabb(sup_lo, sup_hi),
         slot_to_tri=slot_to_tri.astype(jnp.int32),
+        attrs=attrs,
     )
 
 
@@ -245,12 +274,8 @@ _COL_TMIN = 3 + _GROUPS
 _MASK_COLS = max(8, _COL_TMIN + 1)
 
 
-def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
-                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                      tin_ref, tout_ref, idx_ref,
-                      mask_scratch, best_scratch, blk_scratch, slot_tbl,
-                      dma_sems,
-                      *, num_supers: int, backface_cull: bool):
+def _clustered_kernel(*refs, num_supers: int, backface_cull: bool,
+                      with_rows: bool):
     """Grid step: ONE descent for the whole _ROWS x 128 ray tile (rays
     flattened into 2048 lanes), Moller-Trumbore determinants on the MXU.
 
@@ -278,7 +303,25 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     super. Note on ties: visit order is distance-sorted, so exact-t
     ties across supers resolve to the nearer-entry super's triangle
     rather than the global smallest index.
+
+    ``with_rows``: additionally DMA each visited cluster's shading-row
+    block (ClusteredGeometry.attrs) and keep the winner's row per lane
+    (one [CLUSTER, ATTR_COLS] x winner-one-hot contraction per updated
+    sub-tile) — the in-traversal attribute fetch that replaces the
+    XLA row gather downstream.
     """
+    if with_rows:
+        (sup_ref, cl_ref, mtg_ref, atr_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tin_ref,
+         tout_ref, idx_ref, rows_ref,
+         mask_scratch, best_scratch, blk_scratch, slot_tbl, dma_sems,
+         abuf_scratch, abest_scratch, dma_sems2) = refs
+    else:
+        (sup_ref, cl_ref, mtg_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tin_ref,
+         tout_ref, idx_ref,
+         mask_scratch, best_scratch, blk_scratch, slot_tbl,
+         dma_sems) = refs
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (CLUSTER, _GLANES), 0).astype(jnp.float32)
 
@@ -299,13 +342,17 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     t_init = flat(tin_ref)
     best_scratch[0:1, :] = t_init
     best_scratch[1:2, :] = jnp.full((1, _TILE), -1.0, jnp.float32)
+    if with_rows:
+        abest_scratch[:, :] = jnp.zeros((ATTR_COLS, _TILE), jnp.float32)
 
-    def intersect_block(buf, base_f, j):
+    def intersect_block(buf, abuf, base_f, j):
         """One cluster's M-T, ray-compacted: per static _GLANES-lane
         sub-tile, run the [4*CLUSTER, 128] @ [128, _GLANES] MXU pass and
         the masked closest update of best_scratch (rows 0 = t, 1 =
         winner slot index) ONLY when that sub-tile slab-hit cluster
-        ``j`` (mask_scratch[j, 3+g])."""
+        ``j`` (mask_scratch[j, 3+g]). With ``with_rows``, lanes the
+        cluster improved also take its winner's shading row from
+        ``abuf`` (one-hot contraction into abest_scratch)."""
         for g in range(_GROUPS):
             @pl.when(mask_scratch[j, 3 + g] > 0.0)
             def _(g=g):
@@ -342,6 +389,22 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                 best_scratch[1:2, lo:lo + _GLANES] = jnp.where(
                     better, i_blk + base_f,
                     best_scratch[1:2, lo:lo + _GLANES])
+                if with_rows:
+                    # Winner-row fetch from the resident attribute
+                    # block: one [CLUSTER, ATTR_COLS] x one-hot f32
+                    # contraction per improved sub-tile.
+                    oh = ((tri_iota == i_blk) & better).astype(
+                        jnp.float32)                 # [CLUSTER, GLANES]
+                    # HIGHEST precision: a DEFAULT f32 dot rounds the
+                    # operands to bf16 (kd 0.1 came back as bf16(0.1));
+                    # the one-hot copy must be exact.
+                    newrows = jax.lax.dot_general(
+                        abuf, oh, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    abest_scratch[:, lo:lo + _GLANES] = jnp.where(
+                        better, newrows,
+                        abest_scratch[:, lo:lo + _GLANES])
 
     # Level 0: all super-cluster AABBs vs the tile, each lane bounded by
     # its own t_init (per-ray culling), PLUS the packet's entry distance
@@ -448,6 +511,12 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                         mtg_ref.at[pl.ds(base, 4 * CLUSTER), :],
                         blk_scratch.at[k],
                         dma_sems.at[k]).start()
+                    if with_rows:
+                        abase = (s * SUPER + j) * CLUSTER
+                        pltpu.make_async_copy(
+                            atr_ref.at[pl.ds(abase, CLUSTER), :],
+                            abuf_scratch.at[k],
+                            dma_sems2.at[k]).start()
                     slot_tbl[k] = j
                 return 0
             jax.lax.fori_loop(0, min(NSLOTS, SUPER), launch, 0)
@@ -462,7 +531,16 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                         mtg_ref.at[pl.ds(base, 4 * CLUSTER), :],
                         blk_scratch.at[k],
                         dma_sems.at[k]).wait()
-                    intersect_block(blk_scratch[k],
+                    if with_rows:
+                        abase = (s * SUPER + j) * CLUSTER
+                        pltpu.make_async_copy(
+                            atr_ref.at[pl.ds(abase, CLUSTER), :],
+                            abuf_scratch.at[k],
+                            dma_sems2.at[k]).wait()
+                        abuf = abuf_scratch[k]
+                    else:
+                        abuf = None
+                    intersect_block(blk_scratch[k], abuf,
                                     jnp.float32((s * SUPER + j) * CLUSTER),
                                     j)
                 return 0
@@ -481,9 +559,21 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
                             blk_scratch.at[0],
                             dma_sems.at[0])
                         dma.start()
+                        if with_rows:
+                            abase = (s * SUPER + j) * CLUSTER
+                            adma = pltpu.make_async_copy(
+                                atr_ref.at[pl.ds(abase, CLUSTER), :],
+                                abuf_scratch.at[0],
+                                dma_sems2.at[0])
+                            adma.start()
                         dma.wait()
+                        if with_rows:
+                            adma.wait()
+                            abuf = abuf_scratch[0]
+                        else:
+                            abuf = None
                         intersect_block(
-                            blk_scratch[0],
+                            blk_scratch[0], abuf,
                             jnp.float32((s * SUPER + j) * CLUSTER), j)
                     return 0
                 jax.lax.fori_loop(0, SUPER, leftover, 0)
@@ -493,9 +583,13 @@ def _clustered_kernel(sup_ref, cl_ref, mtg_ref,
     tout_ref[:] = best_scratch[0:1, :].reshape(_ROWS, _LANES)
     idx_ref[:] = (best_scratch[1:2, :].reshape(_ROWS, _LANES)
                   .astype(jnp.int32))
+    if with_rows:
+        rows_ref[:] = abest_scratch[:, :].reshape(ATTR_COLS, _ROWS,
+                                                  _LANES)
 
 
-def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
+def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull,
+                   with_rows: bool = False):
     R = o.shape[0]
     pad = (-R) % _TILE
     Rp = R + pad
@@ -511,52 +605,86 @@ def _run_clustered(cg: ClusteredGeometry, o, d, t_init, backface_cull):
     S_rows = cg.sup_aabb.shape[0]
     num_supers = cg.num_supers
     grid = (Rp // _TILE,)
+    n_rows = Rp // _LANES
     ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
 
+    with_rows = with_rows and cg.attrs is not None
     kernel = functools.partial(_clustered_kernel, num_supers=num_supers,
-                               backface_cull=backface_cull)
-    t_out, idx_out = pl.pallas_call(
+                               backface_cull=backface_cull,
+                               with_rows=with_rows)
+    in_specs = [full(cg.sup_aabb.shape), full(cg.cl_aabb.shape),
+                # M-T limb rows stay in HBM; clusters are DMA'd on
+                # demand.
+                pl.BlockSpec(memory_space=pl.ANY)]
+    inputs = [cg.sup_aabb, cg.cl_aabb, cg.mtg]
+    if with_rows:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # attrs, HBM
+        inputs.append(cg.attrs)
+    in_specs += [ray_spec] * 7
+    out_specs = [ray_spec, ray_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, _LANES), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((max(S_rows, SUPER), _MASK_COLS),
+                   jnp.float32),                           # masks
+        pltpu.VMEM((8, _TILE), jnp.float32),               # best t/idx
+        pltpu.VMEM((NSLOTS, 4 * CLUSTER, _MTG_LANES),
+                   jnp.bfloat16),                          # M-T blocks
+        pltpu.SMEM((NSLOTS,), jnp.int32),                  # slot table
+        pltpu.SemaphoreType.DMA((NSLOTS,)),
+    ]
+    if with_rows:
+        out_specs.append(pl.BlockSpec((ATTR_COLS, _ROWS, _LANES),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((ATTR_COLS, n_rows, _LANES),
+                                 jnp.float32))
+        scratch += [
+            pltpu.VMEM((NSLOTS, CLUSTER, ATTR_COLS), jnp.float32),
+            pltpu.VMEM((ATTR_COLS, _TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[full(cg.sup_aabb.shape), full(cg.cl_aabb.shape),
-                  # M-T limb rows stay in HBM; clusters are DMA'd on
-                  # demand.
-                  pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((Rp // _LANES, _LANES), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((max(S_rows, SUPER), _MASK_COLS),
-                       jnp.float32),                           # masks
-            pltpu.VMEM((8, _TILE), jnp.float32),               # best t/idx
-            pltpu.VMEM((NSLOTS, 4 * CLUSTER, _MTG_LANES),
-                       jnp.bfloat16),                          # M-T blocks
-            pltpu.SMEM((NSLOTS,), jnp.int32),                  # slot table
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(cg.sup_aabb, cg.cl_aabb, cg.mtg, *comps)
-    return t_out.reshape(-1)[:R], idx_out.reshape(-1)[:R]
+    )(*inputs, *comps)
+    t_out, idx_out = outs[0], outs[1]
+    rows = None
+    if with_rows:
+        from ..shading import ShadingTable
+        rows = (outs[2].reshape(ATTR_COLS, -1)[:ShadingTable.COLS, :R]
+                .T)                                     # [R, 34]
+    return t_out.reshape(-1)[:R], idx_out.reshape(-1)[:R], rows
 
 
 def intersect_clustered(o: jax.Array, d: jax.Array,
                         cg: ClusteredGeometry, t_max: float,
                         backface_cull: bool = False) -> Hit:
-    """Closest hit via the clustered kernel (original triangle ids)."""
+    """Closest hit via the clustered kernel (original triangle ids).
+    When the accel carries shading attrs, the Hit also returns the
+    winner's shading row per ray (Hit.rows — zeros for misses),
+    fetched in-traversal from the resident cluster block."""
     o = jax.lax.stop_gradient(o).astype(jnp.float32)
     d = jax.lax.stop_gradient(d).astype(jnp.float32)
     t_init = jnp.full((o.shape[0],), t_max, jnp.float32)
-    t_best, slot = _run_clustered(cg, o, d, t_init, backface_cull)
+    t_best, slot, rows = _run_clustered(cg, o, d, t_init, backface_cull,
+                                        with_rows=True)
     hit = slot >= 0
     tri_idx = jnp.take(cg.slot_to_tri, jnp.maximum(slot, 0))
     return Hit(t=jnp.where(hit, t_best, t_max),
                tri_idx=jnp.where(hit, tri_idx, 0),
-               hit=hit)
+               hit=hit, rows=rows)
 
 
 def occluded_clustered(o: jax.Array, d: jax.Array, t_limit: jax.Array,
@@ -566,15 +694,16 @@ def occluded_clustered(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     d = jax.lax.stop_gradient(d).astype(jnp.float32)
     t_init = jnp.where(jnp.isfinite(t_limit), t_limit, _BIG)
     t_init = jax.lax.stop_gradient(t_init).astype(jnp.float32)
-    _, slot = _run_clustered(cg, o, d, t_init, backface_cull)
+    _, slot, _ = _run_clustered(cg, o, d, t_init, backface_cull)
     return slot >= 0
 
 
-def build_accel(geometry: Geometry) -> ClusteredGeometry:
+def build_accel(geometry: Geometry, materials=None) -> ClusteredGeometry:
     """Host-side accel build: SAH clusters via the native C++ builder
     when available (mini_opencl_raytracer_tpu.native), else Morton.
     Call OUTSIDE jit with concrete arrays; pass the result through
-    ``accel`` parameters."""
+    ``accel`` parameters. With ``materials`` the accel carries shading
+    rows so closest hits return winner attributes in-traversal."""
     import numpy as np
     from ... import native
     leaf_info = None
@@ -584,11 +713,14 @@ def build_accel(geometry: Geometry) -> ClusteredGeometry:
             np.asarray(geometry.v1, np.float32),
             np.asarray(geometry.v2, np.float32),
             leaf_size=CLUSTER)
-    return build_clusters(geometry, leaf_info=leaf_info)
+    return build_clusters(geometry, leaf_info=leaf_info,
+                          materials=materials)
 
 
-def make_intersectors(geometry: Geometry, cfg: RenderConfig, accel=None):
-    cg = accel if accel is not None else build_clusters(geometry)
+def make_intersectors(geometry: Geometry, cfg: RenderConfig, accel=None,
+                      materials=None):
+    cg = accel if accel is not None else build_clusters(
+        geometry, materials=materials)
     closest = functools.partial(intersect_clustered, cg=cg, t_max=cfg.t_max,
                                 backface_cull=cfg.backface_cull)
     any_hit = functools.partial(occluded_clustered, cg=cg,

@@ -19,8 +19,10 @@ quadratic [R, T] one-hot stops paying and we fall back to XLA gather.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,40 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
         return jax.lax.dot(onehot, table,
                            precision=jax.lax.Precision.HIGHEST)
     return jnp.take(table, idx, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _precomputed_rows_p(tab_spec, table: jax.Array, idx: jax.Array,
+                        krows: jax.Array) -> jax.Array:
+    """take_rows(table, idx) whose VALUE was already fetched by a
+    traversal kernel (``krows`` — Hit.rows). The primal ignores
+    ``table`` (DCE'd in inference), so the multi-ms XLA row gather
+    never runs; the VJP restores take_rows' exact gradient — a
+    scatter-add of the cotangent rows into d_table (misses carry zero
+    cotangents through the liveness masks, so their zero rows are
+    gradient-neutral, same as the gather path's triangle-0 rows).
+    ``tab_spec``: static (shape, dtype-name) of the table."""
+    return krows
+
+
+def _precomputed_rows_fwd(tab_spec, table, idx, krows):
+    return krows, idx
+
+
+def _precomputed_rows_bwd(tab_spec, idx, cot):
+    tab_shape, tab_dtype = tab_spec
+    d_table = jnp.zeros(tab_shape, tab_dtype).at[idx].add(
+        cot.astype(tab_dtype))
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_table, d_idx, jnp.zeros_like(cot)
+
+
+_precomputed_rows_p.defvjp(_precomputed_rows_fwd, _precomputed_rows_bwd)
+
+
+def _precomputed_rows(table, idx, krows):
+    return _precomputed_rows_p((tuple(table.shape), table.dtype.name),
+                               table, idx, krows)
 
 
 class ShadingTable(NamedTuple):
@@ -111,8 +147,13 @@ def hit_attributes(o: jax.Array, d: jax.Array, hit: Hit,
     """Fetch the winning triangle's row and recompute the differentiable
     intersection on it (t, u, v), then interpolate exactly as
     kernel_bvh.cl:144-147. ``soft_sigma`` > 0 adds the soft edge
-    coverage (see soft_coverage)."""
-    rows = take_rows(st.table, hit.tri_idx)
+    coverage (see soft_coverage). Backends that fetched the rows during
+    traversal (Hit.rows) skip the gather here; _precomputed_rows keeps
+    the table gradient identical."""
+    if hit.rows is not None:
+        rows = _precomputed_rows(st.table, hit.tri_idx, hit.rows)
+    else:
+        rows = take_rows(st.table, hit.tri_idx)
 
     def c3(off):
         return rows[:, off:off + 3]

@@ -92,7 +92,8 @@ def make_intersectors(scene: Scene, cfg: RenderConfig,
             backface_cull=cfg.backface_cull)
         return closest, any_hit
     if backend == "pallas":
-        return pallas_mod.make_intersectors(geo, cfg, accel=accel)
+        return pallas_mod.make_intersectors(geo, cfg, accel=accel,
+                                            materials=scene.materials)
     raise ValueError(f"unknown backend: {backend!r}")
 
 
@@ -104,7 +105,8 @@ def build_accel(scene: Scene, cfg: RenderConfig):
     if backend == "bvh":
         return bvh_mod.build_bvh(scene.geometry, BVHConfig())
     if backend == "pallas":
-        return pallas_mod.build_accel(scene.geometry, cfg)
+        return pallas_mod.build_accel(scene.geometry, cfg,
+                                      materials=scene.materials)
     return None
 
 

@@ -3,6 +3,7 @@ section 4: 'each Pallas kernel tested in interpret=True mode vs its jnp
 reference')."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -151,3 +152,53 @@ def test_clustered_occlusion():
     brute = mrt.occluded_brute(o, d, limit, geo, ray_chunk=256)
     occ = clustered.occluded_clustered(o, d, limit, cg)
     np.testing.assert_array_equal(np.asarray(brute), np.asarray(occ))
+
+
+def test_clustered_winner_rows_match_take_rows():
+    """Hit.rows fetched in-traversal must equal take_rows(st, tri_idx)
+    on hits and zeros on misses (ops/intersect.Hit contract)."""
+    import mini_opencl_raytracer_tpu as mrt
+    from mini_opencl_raytracer_tpu.models.procedural import bunny_scene
+    from mini_opencl_raytracer_tpu.ops import rng
+    from mini_opencl_raytracer_tpu.ops.camera import generate_rays
+    from mini_opencl_raytracer_tpu.ops.pallas import clustered
+    from mini_opencl_raytracer_tpu.ops.shading import (build_shading_table,
+                                                       take_rows)
+
+    scene = bunny_scene(target_tris=4000)
+    cfg = mrt.RenderConfig(width=32, height=32)
+    ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    seeds = rng.pixel_seeds(ids, jnp.uint32(0))
+    o, d = generate_rays(mrt.Camera.default(), cfg, ids, seeds)
+    cg = clustered.build_accel(scene.geometry,
+                               materials=scene.materials)
+    h = clustered.intersect_clustered(o, d, cg, cfg.t_max)
+    assert h.rows is not None
+    st = build_shading_table(scene.geometry, scene.materials)
+    want = np.asarray(take_rows(st.table, h.tri_idx))
+    got = np.asarray(h.rows)
+    hitm = np.asarray(h.hit)
+    np.testing.assert_allclose(got[hitm], want[hitm], atol=1e-6)
+    np.testing.assert_array_equal(got[~hitm], 0.0)
+
+
+def test_clustered_rows_gradients_match_bvh():
+    """Material gradients through the in-traversal rows (custom VJP
+    scatter) must match the bvh/take_rows autodiff path."""
+    import mini_opencl_raytracer_tpu as mrt
+    from mini_opencl_raytracer_tpu.models.procedural import bunny_scene
+
+    scene = bunny_scene(target_tris=4000)
+    cam = mrt.Camera.default()
+    kw = dict(width=16, height=16, bounces=2)
+
+    def loss(kd, backend):
+        s = scene.replace(materials=scene.materials.replace(diffuse=kd))
+        cfg = mrt.RenderConfig(backend=backend, **kw)
+        return jnp.mean(mrt.render_sample(s, cam, cfg))
+
+    kd = scene.materials.diffuse
+    g_bvh = np.asarray(jax.grad(loss)(kd, "bvh"))
+    g_cl = np.asarray(jax.grad(loss)(kd, "pallas"))
+    scale = max(np.abs(g_bvh).max(), 1e-6)
+    np.testing.assert_allclose(g_cl / scale, g_bvh / scale, atol=1e-4)
