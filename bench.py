@@ -8,13 +8,20 @@ jit(value_and_grad) of the mean rendered radiance w.r.t. the float scene
 leaves — a full differentiable render step on the auto-resolved backend
 (the fused bounce megakernel for Cornell), not just forward.
 
+Rig-proof timing (round 5): each timed sample executes INNER distinct
+frame steps inside one jitted lax.scan (utils.metrics.time_scan_fn) and
+divides by INNER — the per-dispatch tunnel round-trip (measured 2.5-33 ms
+floor for the same frame hours apart) amortizes to noise, the analog of
+the reference timing its frame loop rather than its dispatch
+(CLEngineBase.cpp:193-196). Each scanned frame uses a distinct seed and
+the timed scalar sums every gradient leaf, so nothing is cached or DCE'd.
+
 vs_baseline is measured against the driver-set north-star target of
 1e9 rays/s/chip (the reference publishes no numbers — BASELINE.md).
 """
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +32,8 @@ def main() -> int:
     enable_persistent_cache()
     import mini_opencl_raytracer_tpu as mrt
     from mini_opencl_raytracer_tpu import grad as gradlib
-
     from mini_opencl_raytracer_tpu.render import resolve_backend
+    from mini_opencl_raytracer_tpu.utils.metrics import time_scan_fn
 
     W, H, B = 1920, 1080, 9
     scene = mrt.cornell_scene()
@@ -37,32 +44,14 @@ def main() -> int:
     def loss(s, fr):
         return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr))
 
-    step = jax.jit(lambda s, fr: gradlib.grad_float_leaves(
-        lambda s_: loss(s_, fr), s))
+    def step_scalar(fr, s):
+        g = gradlib.grad_float_leaves(lambda s_: loss(s_, fr), s)
+        # Sum EVERY gradient leaf: the timed scalar must depend on all
+        # backward work or XLA dead-code-eliminates it.
+        return sum(jnp.sum(l).astype(jnp.float32)
+                   for l in jax.tree_util.tree_leaves(g))
 
-    import numpy as np
-
-    def sync(out):
-        # Host fetch of one leaf: jax.block_until_ready can return
-        # before execution completes on the remote-TPU rig; a host
-        # round-trip is the only reliable barrier, and one leaf covers
-        # the whole (atomic) executable.
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-
-    sync(step(scene, jnp.uint32(999)))
-
-    # Median of per-iteration times, each hard-synchronized and each on
-    # a DISTINCT frame seed: identical-argument calls can be served
-    # from a cache, and the shared rig has transient multi-x slow
-    # windows — distinct frames + host-fetch sync + median of 7 is
-    # robust to all three without inventing a best case.
-    times = []
-    for i in range(7):
-        t0 = time.perf_counter()
-        sync(step(scene, jnp.uint32(i)))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+    dt = time_scan_fn(step_scalar, inner=8, iters=7, warmup=1, data=scene)
 
     rays = W * H * B
     rays_per_s = rays / dt

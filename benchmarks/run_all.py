@@ -7,6 +7,15 @@ Usage:
 
 Writes JSON lines to stdout (one per config) and a markdown table to
 benchmarks/RESULTS.md.
+
+Round-5 methodology:
+  * acceleration structures are built ONCE on the host, OUTSIDE the
+    timed/jitted frame (mrt.build_accel), exactly like the reference's
+    load-time BVH build (CLBVHnode.cpp:185-207), and reported in their
+    own column;
+  * each timed sample runs INNER distinct frames inside one jitted
+    lax.scan (utils.metrics.time_scan_fn) so the rig's per-dispatch
+    round-trip (measured 2.5-33 ms floor) amortizes to noise.
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -25,27 +35,53 @@ import mini_opencl_raytracer_tpu as mrt
 from mini_opencl_raytracer_tpu import grad as gradlib
 from mini_opencl_raytracer_tpu.models.procedural import (bunny_scene,
                                                          sponza_scene)
-from mini_opencl_raytracer_tpu.utils.metrics import render_metrics, time_fn
+from mini_opencl_raytracer_tpu.utils.metrics import (render_metrics,
+                                                     time_scan_fn)
+
+INNER = 8  # frames per timed scan
 
 
-def _measure_forward(scene, cfg, camera, iters):
-    # frame varies per timed iteration so every execution is distinct,
-    # and the jitted fn returns a SCALAR mean: on the remote-TPU rig,
-    # block_until_ready on a large image buffer can return before the
-    # compute that fills it (observed 0.2 ms "frames" of 10+ ms of real
-    # work), while a scalar's readiness requires the whole render.
-    f = jax.jit(lambda s, c, fr: jnp.mean(
-        mrt.render_sample(s, c, cfg, frame=fr)))
-    sec = time_fn(lambda i: f(scene, camera, jnp.uint32(i)), iters=iters)
+def _build_accel_timed(scene, cfg):
+    """Host-side accel build (outside jit), measured: (accel, seconds).
+    The build runs twice; the second, cache-warm run is reported (the
+    first pays one-off jit compilation of the device upload)."""
+    accel = mrt.build_accel(scene, cfg)
+    if accel is None:
+        return None, 0.0
+    jax.block_until_ready(jax.tree_util.tree_leaves(accel)[0])
+    t0 = time.perf_counter()
+    accel = mrt.build_accel(scene, cfg)
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(accel)[0])[:1]
+    dt = time.perf_counter() - t0
+    return accel, dt
+
+
+def _measure_forward(scene, cfg, camera, iters, accel=None):
+    # scene/accel ride as REAL jit arguments (time_scan_fn's ``data``):
+    # closure constants get embedded in the HLO payload and the remote
+    # compiler rejects sponza-size programs (HTTP 413).
+    def frame(fr, data):
+        s, acc = data
+        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr,
+                                          accel=acc))
+    sec = time_scan_fn(frame, inner=INNER, iters=iters,
+                       data=(scene, accel))
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
-def _measure_fwd_bwd(scene, cfg, camera, iters):
-    def loss(s, fr):
-        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr))
-    step = jax.jit(lambda s, fr: gradlib.grad_float_leaves(
-        lambda s_: loss(s_, fr), s))
-    sec = time_fn(lambda i: step(scene, jnp.uint32(i)), iters=iters)
+def _measure_fwd_bwd(scene, cfg, camera, iters, accel=None):
+    def frame(fr, data):
+        s, acc = data
+        g = gradlib.grad_float_leaves(
+            lambda s_: jnp.mean(mrt.render_sample(s_, camera, cfg,
+                                                  frame=fr, accel=acc)),
+            s)
+        # Sum every gradient leaf so no backward work is DCE'd.
+        return sum(jnp.sum(l).astype(jnp.float32)
+                   for l in jax.tree_util.tree_leaves(g))
+    sec = time_scan_fn(frame, inner=INNER, iters=iters,
+                       data=(scene, accel))
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
@@ -77,11 +113,14 @@ def config_2(iters, backend):
 
 
 def config_3(iters, backend):
-    """Bunny-scale (~70k tris): LBVH build + deep traversal."""
+    """Bunny-scale (~70k tris): prebuilt SAH accel + deep traversal."""
     scene = bunny_scene()
     cfg = mrt.RenderConfig(width=512, height=512, bounces=2, backend=backend)
-    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters)
+    accel, build_s = _build_accel_timed(scene, cfg)
+    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
+                         accel=accel)
     m["config"] = f"3: bunny-scale ({scene.num_triangles} tris) 512x512"
+    m["accel_build_seconds"] = build_s
     return m
 
 
@@ -100,8 +139,11 @@ def config_5(iters, backend):
     scene = sponza_scene()
     cfg = mrt.RenderConfig(width=3840, height=2160, bounces=1,
                            backend=backend)
-    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters)
+    accel, build_s = _build_accel_timed(scene, cfg)
+    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
+                         accel=accel)
     m["config"] = f"5: sponza-scale ({scene.num_triangles} tris) 4K"
+    m["accel_build_seconds"] = build_s
     return m
 
 
@@ -117,6 +159,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--no-write", action="store_true",
+                    help="skip writing RESULTS.md (exploratory runs)")
     args = ap.parse_args()
     iters = 2 if args.quick else args.iters
 
@@ -129,30 +173,37 @@ def main() -> int:
         rows.append(m)
         print(json.dumps(m), flush=True)
 
+    if args.no_write:
+        return 0
     path = os.path.join(os.path.dirname(__file__), "RESULTS.md")
     with open(path, "w") as f:
         f.write("# Benchmark results\n\n")
         f.write(f"Device: {jax.devices()[0].device_kind}, "
                 f"backend: {args.backend}\n\n")
-        f.write("| Config | ms/frame | Mrays/s |\n|---|---|---|\n")
+        f.write("| Config | ms/frame | Mrays/s | accel build ms |\n"
+                "|---|---|---|---|\n")
         for m in rows:
             if "error" in m:
-                f.write(f"| {m['config']} | error | {m['error'][:60]} |\n")
+                f.write(f"| {m['config']} | error | {m['error'][:60]} | |\n")
             else:
+                acc = (f"{m['accel_build_seconds']*1e3:.0f}"
+                       if m.get("accel_build_seconds") else "—")
                 f.write(f"| {m['config']} | "
                         f"{m['seconds_per_frame']*1e3:.1f} | "
-                        f"{m['mrays_per_second']:.1f} |\n")
+                        f"{m['mrays_per_second']:.1f} | {acc} |\n")
         f.write(
-            "\nTiming method: median of per-frame times, each frame on a"
-            " distinct seed and\nhard-synchronized by a host fetch "
-            "(utils.metrics.time_fn — `block_until_ready`\nis not a "
-            "reliable barrier on the tunneled-TPU rig, and "
-            "identical-argument calls\ncan be served cached). The rig "
-            "adds a per-call round-trip floor that varies by\nsession "
-            "(measured 2.5-33 ms for the same 512x512 frame hours "
-            "apart); small-frame\nrows are therefore dominated by rig "
-            "latency in bad windows — compare rows within\none run, "
-            "not across runs.\n")
+            "\nTiming method (rig-proof, round 5): each timed sample "
+            "executes 8 distinct\nframes inside ONE jitted lax.scan and "
+            "divides by 8 (utils.metrics.time_scan_fn),\nso the "
+            "tunneled-TPU rig's per-dispatch round-trip amortizes to "
+            "noise; samples are\nhard-synchronized by a host fetch of a "
+            "scalar that depends on every output\n(`block_until_ready` "
+            "is not a reliable barrier on this rig), the median of "
+            "--iters\nsamples is reported, and every frame uses a "
+            "distinct seed. Acceleration\nstructures are built once on "
+            "the host outside the timed frame (build_accel)\nand "
+            "reported in their own column, like the reference's "
+            "load-time BVH build\n(CLBVHnode.cpp:185-207).\n")
     print(f"wrote {path}", file=sys.stderr)
     return 0
 

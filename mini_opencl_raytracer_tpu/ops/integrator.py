@@ -95,9 +95,20 @@ def _sorted_wavefront(scene: Scene, intersect_fn, occluder_fn):
     def closest(o, d):
         ridx, os, ds, _ = forward_sort(o, d)
         h = intersect_fn(os, ds)
-        t, tri, hitc = backward_sort(
-            ridx, (h.t, h.tri_idx, h.hit.astype(jnp.int32)))
-        return Hit(t=t, tri_idx=tri, hit=hitc > 0)
+        cols = [h.t, h.tri_idx, h.hit.astype(jnp.int32)]
+        if h.rows is not None:
+            # Carry the in-traversal attribute rows (Hit.rows) back
+            # through the restore sort so callers don't re-pay the XLA
+            # row gather the kernel already did (ADVICE r4). trace_paths
+            # itself uses the permuted-carry path below instead (shading
+            # happens IN the sorted domain, no restore at all); this
+            # wrapper serves parallel/pipeline's bounce-segment stages.
+            cols += [h.rows[:, c] for c in range(h.rows.shape[1])]
+        out = backward_sort(ridx, cols)
+        t, tri, hitc = out[0], out[1], out[2]
+        rows = (jnp.stack(out[3:], axis=-1) if h.rows is not None
+                else None)
+        return Hit(t=t, tri_idx=tri, hit=hitc > 0, rows=rows)
 
     if occluder_fn is None:
         return closest, None
@@ -128,6 +139,11 @@ def trace_paths(
     reference's FPS counter couldn't offer — utils/metrics.py)."""
     R = origins.shape[0]
     dtype = cfg.jnp_dtype()
+    sort_on = (cfg.sort_rays if cfg.sort_rays is not None
+               else scene.num_triangles > SORT_RAYS_MIN_TRIS)
+    if sort_on:
+        return _trace_paths_sorted(scene, cfg, origins, directions, seeds,
+                                   intersect_fn, occluder_fn, with_stats)
     step = make_bounce_step(scene, cfg, intersect_fn, occluder_fn,
                             with_stats=with_stats)
     init = (
@@ -138,30 +154,110 @@ def trace_paths(
         jnp.ones((R,), bool),
         seeds,
     )
-    sort_on = (cfg.sort_rays if cfg.sort_rays is not None
-               else scene.num_triangles > SORT_RAYS_MIN_TRIS)
-    first = 0
-    stats0 = None
-    if sort_on:
-        # Primary rays arrive tile-swizzled (render._swizzled_ids) —
-        # already packet-coherent — so bounce 0 runs UNSORTED outside
-        # the scan, skipping one full sort+permute cycle per sample;
-        # only the genuinely incoherent secondary bounces pay for
-        # coherence sorting.
-        import dataclasses
-        step0 = make_bounce_step(scene,
-                                 dataclasses.replace(cfg, sort_rays=False),
-                                 intersect_fn, occluder_fn,
-                                 with_stats=with_stats)
-        init, stats0 = step0(init, jnp.int32(0))
-        first = 1
     (_, _, _, radiance, _, _), stats = jax.lax.scan(
-        step, init, jnp.arange(first, cfg.bounces, dtype=jnp.int32))
+        step, init, jnp.arange(cfg.bounces, dtype=jnp.int32))
     # Final clamp (kernel_bvh.cl:383).
     radiance = jnp.maximum(radiance, 0.0)
     if with_stats:
-        if stats0 is not None:
-            stats = jnp.concatenate([stats0[None], stats])
+        return radiance, stats
+    return radiance
+
+
+def _trace_paths_sorted(scene, cfg, origins, directions, seeds,
+                        intersect_fn, occluder_fn, with_stats):
+    """Coherence-sorted wavefront with a PERMUTED carry.
+
+    The round-4 design re-sorted each bounce's rays forward and restored
+    ray order after intersection, so shading ran on the original layout
+    and paid an [R, 34] attribute row gather per bounce (XLA's TPU
+    gather moves ~17M rows/s — benchmarks/PROFILE.md). This design keeps
+    the wavefront permuted ACROSS bounces instead:
+
+      * carry = (o, d, beta, radiance, alive, seeds, ridx), where ridx
+        remembers each lane's original ray id;
+      * each bounce re-sorts the already-permuted carry by the fresh
+        coherence key (ONE multi-operand ``lax.sort`` per bounce, versus
+        two in round 4) and runs the ENTIRE bounce body — intersection,
+        attribute consumption (Hit.rows straight from the traversal
+        kernel, no row gather), BRDF, lights, throughput — in the
+        sorted domain;
+      * dead lanes sort to the tail (key 0xFFFFFFFF) and are parked on
+        rays strictly outside the scene AABB, so fully-dead packets
+        reject at the super-cluster slab test — free compaction;
+      * one final tiny sort restores only radiance (3 columns) to pixel
+        order.
+
+    Per-lane values are identical to the unsorted integrator (each
+    lane's result depends only on its own ray — test_render.py).
+    """
+    R = origins.shape[0]
+    dtype = cfg.jnp_dtype()
+    g = scene.geometry
+    pts = jnp.concatenate([g.v0, g.v1, g.v2], axis=0)
+    lo = jax.lax.stop_gradient(jnp.min(pts, axis=0))
+    hi = jax.lax.stop_gradient(jnp.max(pts, axis=0))
+    # Parking spot for dead lanes: outside every AABB, heading away —
+    # the slab test rejects the whole scene at the top level.
+    park_o = hi + (hi - lo) + 1.0
+    park_d = jnp.full((3,), 1.0 / jnp.sqrt(3.0), dtype)
+    dead_key = jnp.uint32(0xFFFFFFFF)
+
+    core = make_bounce_core(scene, cfg, intersect_fn, occluder_fn,
+                            with_stats=with_stats)
+
+    def sorted_step(carry, bounce):
+        o, d, beta, radiance, alive, seeds_, ridx = carry
+        keys = _ray_sort_keys(jax.lax.stop_gradient(o),
+                              jax.lax.stop_gradient(d), lo, hi)
+        keys = jnp.where(alive, keys, dead_key)
+        ops = (keys, ridx, seeds_, alive.astype(jnp.int32),
+               o[:, 0], o[:, 1], o[:, 2],
+               d[:, 0], d[:, 1], d[:, 2],
+               beta[:, 0], beta[:, 1], beta[:, 2],
+               radiance[:, 0], radiance[:, 1], radiance[:, 2])
+        out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        ridx_s, seeds_s, alive_s = out[1], out[2], out[3] > 0
+        o_s = jnp.stack(out[4:7], axis=-1)
+        d_s = jnp.stack(out[7:10], axis=-1)
+        beta_s = jnp.stack(out[10:13], axis=-1)
+        rad_s = jnp.stack(out[13:16], axis=-1)
+        am = alive_s[:, None]
+        o_s = jnp.where(am, o_s, park_o[None, :])
+        d_s = jnp.where(am, d_s, park_d[None, :])
+        inner = (o_s, d_s, beta_s, rad_s, alive_s, seeds_s)
+        (o2, d2, b2, r2, a2, s2), stat = core(inner, bounce)
+        return (o2, d2, b2, r2, a2, s2, ridx_s), stat
+
+    if cfg.remat:
+        sorted_step = jax.checkpoint(sorted_step)
+
+    # Bounce 0 runs UNSORTED: primary rays arrive tile-swizzled
+    # (render._swizzled_ids) — already packet-coherent — so the first
+    # sort is pure cost.
+    step0 = (jax.checkpoint(core) if cfg.remat else core)
+    init0 = (
+        origins,
+        directions,
+        jnp.ones((R, 3), dtype),
+        jnp.zeros((R, 3), dtype),
+        jnp.ones((R,), bool),
+        seeds,
+    )
+    inner0, stats0 = step0(init0, jnp.int32(0))
+    ridx = jnp.arange(R, dtype=jnp.uint32)
+    carry = inner0 + (ridx,)
+    (_, _, _, radiance, _, _, ridx), stats = jax.lax.scan(
+        sorted_step, carry, jnp.arange(1, cfg.bounces, dtype=jnp.int32))
+
+    # Restore pixel order for the 3 radiance columns only.
+    out = jax.lax.sort(
+        (ridx, radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+        num_keys=1, is_stable=True)
+    radiance = jnp.stack(out[1:4], axis=-1)
+    radiance = jnp.maximum(radiance, 0.0)
+    if with_stats:
+        stats = (jnp.concatenate([stats0[None], stats]) if cfg.bounces > 1
+                 else stats0[None])
         return radiance, stats
     return radiance
 
@@ -171,21 +267,34 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig, intersect_fn,
     """Build the per-bounce transition of the reference recurrence
     (Render, kernel_bvh.cl:349-384) as a ``lax.scan``-shaped step:
     carry = (o, d, beta, radiance, alive, seeds), x = global bounce
-    index. Shared by trace_paths (all bounces on one device) and
-    parallel/pipeline (bounce segments as pipeline stages). Applies
-    cfg.remat and the coherence-sorting wrapper (cfg.sort_rays)."""
-    dtype = cfg.jnp_dtype()
-    sky = jnp.asarray(cfg.sky_color, dtype) * cfg.skybox_intensity
-
-    if not cfg.shadow_rays:
-        occ = None
-    else:
-        occ = occluder_fn
-
+    index. Used by parallel/pipeline (bounce segments as pipeline
+    stages, which need order-preserving steps — coherence sorting
+    happens per-step via the restore-order wrapper). trace_paths itself
+    uses make_bounce_core, keeping the wavefront permuted across
+    bounces (_trace_paths_sorted). Applies cfg.remat."""
+    occ = occluder_fn if cfg.shadow_rays else None
     sort_on = (cfg.sort_rays if cfg.sort_rays is not None
                else scene.num_triangles > SORT_RAYS_MIN_TRIS)
     if sort_on:
         intersect_fn, occ = _sorted_wavefront(scene, intersect_fn, occ)
+    core = make_bounce_core(scene, cfg, intersect_fn, occ,
+                            with_stats=with_stats, _occ_prefiltered=True)
+    return jax.checkpoint(core) if cfg.remat else core
+
+
+def make_bounce_core(scene: Scene, cfg: RenderConfig, intersect_fn,
+                     occluder_fn=None, with_stats: bool = False,
+                     _occ_prefiltered: bool = False):
+    """The UNSORTED per-bounce transition (no coherence wrapper, no
+    remat): the shared body of make_bounce_step and
+    _trace_paths_sorted."""
+    dtype = cfg.jnp_dtype()
+    sky = jnp.asarray(cfg.sky_color, dtype) * cfg.skybox_intensity
+
+    if _occ_prefiltered:
+        occ = occluder_fn
+    else:
+        occ = occluder_fn if cfg.shadow_rays else None
 
     # All per-hit attributes come from one fused table fetch (see
     # ops/shading.py) instead of the reference's pointer chases.
@@ -247,8 +356,10 @@ def make_bounce_step(scene: Scene, cfg: RenderConfig, intersect_fn,
         stat = jnp.mean(alive_next.astype(dtype)) if with_stats else None
         return (o_next, d_next, beta_new, radiance, alive_next, seeds), stat
 
-    # Remat each bounce so reverse-mode stores only the small scan carry
+    # Remat is applied by the callers (make_bounce_step /
+    # _trace_paths_sorted) so the per-bounce sort sits inside the
+    # checkpointed region: reverse-mode stores only the small scan carry
     # per bounce instead of every intermediate panel (HBM is the scarce
-    # resource; intersection recompute is cheap — SURVEY.md 'use
-    # jax.checkpoint to trade FLOPs for memory').
-    return jax.checkpoint(bounce_step) if cfg.remat else bounce_step
+    # resource; recompute is cheap — SURVEY.md 'use jax.checkpoint to
+    # trade FLOPs for memory').
+    return bounce_step

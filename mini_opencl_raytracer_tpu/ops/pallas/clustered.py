@@ -89,6 +89,15 @@ class ClusteredGeometry(NamedTuple):
     # accel field; gradients flow through the take_rows-equivalent
     # custom VJP at ops/shading.hit_attributes.
     attrs: jax.Array = None
+    # [T_pad] int32 material index per slot — lets make_intersectors
+    # refresh the attrs' material columns from LIVE material arrays when
+    # a prebuilt accel is reused across optimizer steps (otherwise
+    # Hit.rows would return the values snapshotted at build time while
+    # the VJP sends gradients to the live table — the image would stop
+    # responding to material updates). Geometry columns are snapshot by
+    # nature: an accel must be rebuilt after vertex changes, exactly as
+    # the reference rebuilds its BVH (CLBVHnode.cpp:185-207).
+    slot_mat: jax.Array = None
 
     @property
     def num_supers(self) -> int:
@@ -198,6 +207,7 @@ def build_clusters(geometry: Geometry,
         return out
 
     attrs = None
+    slot_mat = None
     if materials is not None:
         from ..shading import build_shading_table
         st = jax.lax.stop_gradient(
@@ -205,6 +215,8 @@ def build_clusters(geometry: Geometry,
         rows_ = jnp.take(st, order, axis=0)          # [T_pad, 34]
         rows_ = jnp.where(real, rows_, 0.0)
         attrs = jnp.pad(rows_, ((0, 0), (0, ATTR_COLS - rows_.shape[1])))
+        slot_mat = jnp.where(valid, jnp.take(geometry.mat_idx, order),
+                             0).astype(jnp.int32)
 
     return ClusteredGeometry(
         mtg=mtg,
@@ -212,6 +224,7 @@ def build_clusters(geometry: Geometry,
         sup_aabb=pack_aabb(sup_lo, sup_hi),
         slot_to_tri=slot_to_tri.astype(jnp.int32),
         attrs=attrs,
+        slot_mat=slot_mat,
     )
 
 
@@ -264,7 +277,15 @@ NSLOTS = int(os.environ.get("MRT_CLUSTER_NSLOTS", "16"))
 # or two sub-tiles, so most visits skip 3/4 of the tile. (Env override
 # for benchmark sweeps only; 1 = compaction off.)
 _GROUPS = int(os.environ.get("MRT_CLUSTER_GROUPS", "4"))
+# The sub-tile split must cover the tile exactly and keep each sub-tile
+# lane-aligned, or sub-tiles silently overlap / miss lanes (e.g.
+# _GROUPS=3 gives 682-lane groups).
+assert _TILE % _GROUPS == 0, (
+    f"MRT_CLUSTER_GROUPS={_GROUPS} must divide the {_TILE}-lane tile")
 _GLANES = _TILE // _GROUPS
+assert _GLANES % _LANES == 0, (
+    f"MRT_CLUSTER_GROUPS={_GROUPS} gives {_GLANES}-lane sub-tiles; "
+    f"must be a multiple of {_LANES}")
 
 # mask_scratch column of the per-super packet entry distance (doubles
 # as the visited flag: set to _BIG once visited). Columns 1/2 hold the
@@ -717,10 +738,52 @@ def build_accel(geometry: Geometry, materials=None) -> ClusteredGeometry:
                           materials=materials)
 
 
+def _check_layout(cg: ClusteredGeometry) -> None:
+    """Fail loudly when an accel was built under different
+    MRT_CLUSTER/MRT_SUPER env settings than this process: the slot
+    layout (cluster size, supers-per-level) is baked into the accel's
+    array shapes, and a mismatch silently mis-indexes triangles."""
+    T_pad = cg.mtg.shape[0] // 4
+    C_pad = T_pad // CLUSTER
+    S = max(C_pad // SUPER, 1)
+    if (T_pad % CLUSTER or C_pad % SUPER
+            or cg.cl_aabb.shape[0] != max(_ceil_to(C_pad, 8), 8)
+            or cg.sup_aabb.shape[0] != max(_ceil_to(S, 8), 8)):
+        raise ValueError(
+            f"accel layout mismatch: accel has T_pad={T_pad}, "
+            f"cl_rows={cg.cl_aabb.shape[0]}, sup_rows="
+            f"{cg.sup_aabb.shape[0]}, but this process expects "
+            f"CLUSTER={CLUSTER}, SUPER={SUPER} (MRT_CLUSTER/MRT_SUPER "
+            f"env) — rebuild the accel under the current settings")
+
+
+def _refresh_attrs(cg: ClusteredGeometry, materials) -> ClusteredGeometry:
+    """Replace the attrs' material columns (kd/ks/ke/ns) with the LIVE
+    material values so a prebuilt accel keeps tracking material updates
+    during optimization (see ClusteredGeometry.slot_mat). One small
+    [M, 10] one-hot fetch + one attrs copy — ~0.3 ms at sponza scale."""
+    from ..shading import ShadingTable, take_rows
+    mat_tab = jnp.concatenate([
+        materials.diffuse, materials.specular, materials.emission,
+        materials.roughness[:, None]], axis=1)        # [M, 10]
+    live = jax.lax.stop_gradient(
+        take_rows(mat_tab.astype(jnp.float32), cg.slot_mat))
+    attrs = jnp.concatenate([
+        cg.attrs[:, :ShadingTable.KD], live,
+        cg.attrs[:, ShadingTable.NS + 1:]], axis=1)
+    return cg._replace(attrs=attrs)
+
+
 def make_intersectors(geometry: Geometry, cfg: RenderConfig, accel=None,
                       materials=None):
-    cg = accel if accel is not None else build_clusters(
-        geometry, materials=materials)
+    if accel is not None:
+        _check_layout(accel)
+        cg = accel
+        if (materials is not None and cg.attrs is not None
+                and cg.slot_mat is not None):
+            cg = _refresh_attrs(cg, materials)
+    else:
+        cg = build_clusters(geometry, materials=materials)
     closest = functools.partial(intersect_clustered, cg=cg, t_max=cfg.t_max,
                                 backface_cull=cfg.backface_cull)
     any_hit = functools.partial(occluded_clustered, cg=cg,

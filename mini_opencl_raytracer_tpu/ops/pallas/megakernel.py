@@ -622,26 +622,48 @@ def _gather_stacked_fwd(tableT, i_best):
     return _gather_stacked_impl(tableT, i_best), (i_best, tableT.shape)
 
 
+# bf16 limbs of the COTANGENT in the scatter-add VJP. The one-hot side
+# is bf16-exact, so limb count sets only the cotangent's own precision:
+# 2 limbs give ~2^-16 relative error on table gradients — far below
+# what any optimizer or the FD tests (atol 1e-4, scaled) resolve — at
+# 2/3 the contraction width of the full 3-limb f32 reconstruction.
+# (Round-5 lever: the scatter was 1.28 ms of the 2.66 ms backward
+# bounce, 3.5x its forward twin; env override for sweeps only.)
+_BWD_COT_LIMBS = int(os.environ.get("MRT_BWD_COT_LIMBS", "2"))
+
+
 def _gather_stacked_bwd(res, cot):
     """d_tableT = sum_r cot_r @ onehot_r^T — the scatter-add matmul,
-    limb-packed the same way (3 bf16 limbs of the f32 cotangent along K)
-    so table gradients keep f32 accuracy at 1/2 the HIGHEST-precision
-    pass count. The contraction runs over the lane (ray) axis of both
-    operands, so no transpose is materialized."""
+    limb-packed like the forward (_BWD_COT_LIMBS bf16 limbs of the f32
+    cotangent along K). The contraction runs over the lane (ray) axis of
+    both operands, so no transpose is materialized. The limb split is
+    hoisted OUT of the row loop (one vectorized 3-D split instead of
+    _ROWS small ones — the forward splits its table once too) and the
+    row partials reduce as a binary tree so the small dots pipeline
+    instead of serializing on one accumulator."""
     i_best, tab_shape = res
     T_pad = tab_shape[1]
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (T_pad, _LANES), 0)
     # Contract the lane (ray) axes of both operands directly — measured
     # faster than materializing a transposed one-hot.
     dims = (((1,), (1,)), ((), ()))
-    d_tab = jnp.zeros(tab_shape, jnp.float32)
+    nl = _BWD_COT_LIMBS
+    limbs = _split3_bf16(cot)[:nl]            # each [C, ROWS, 128] bf16
+    parts = []
     for r in range(_ROWS):
         onehot = (iota2 == i_best[r:r + 1, :]).astype(jnp.bfloat16)
-        oh3 = jnp.concatenate([onehot, onehot, onehot], axis=1)  # [T, 384]
-        c0, c1, c2 = _split3_bf16(cot[:, r, :])
-        cot3 = jnp.concatenate([c0, c1, c2], axis=1)             # [C, 384]
-        d_tab = d_tab + jax.lax.dot_general(
-            cot3, oh3, dims, preferred_element_type=jnp.float32)
+        ohn = (jnp.concatenate([onehot] * nl, axis=1) if nl > 1
+               else onehot)                              # [T, nl*128]
+        cotn = (jnp.concatenate([l[:, r, :] for l in limbs], axis=1)
+                if nl > 1 else limbs[0][:, r, :])        # [C, nl*128]
+        parts.append(jax.lax.dot_general(
+            cotn, ohn, dims, preferred_element_type=jnp.float32))
+    while len(parts) > 1:
+        odd = parts.pop() if len(parts) % 2 else None
+        parts = [parts[i] + parts[i + 1] for i in range(0, len(parts), 2)]
+        if odd is not None:
+            parts.append(odd)
+    d_tab = parts[0]
     d_idx = np.zeros(i_best.shape, dtype=jax.dtypes.float0)
     return d_tab, d_idx
 

@@ -11,6 +11,7 @@ import time
 from typing import Any, Callable, Dict
 
 import jax
+import jax.numpy as jnp
 
 
 def time_fn(f: Callable[..., Any], iters: int = 5, warmup: int = 1) -> float:
@@ -54,6 +55,58 @@ def time_fn(f: Callable[..., Any], iters: int = 5, warmup: int = 1) -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def scan_frames(f: Callable[[Any], Any], inner: int) -> Callable[[Any], Any]:
+    """Fold ``inner`` distinct frames of a jittable scalar-returning
+    ``f(frame_u32)`` into ONE jitted executable (a ``lax.scan`` over
+    frame indices summing the scalars) — the rig-proof timing shape.
+
+    The tunneled-TPU rig adds a per-dispatch round-trip whose floor was
+    measured at 2.5-33 ms for the SAME 512x512 frame hours apart
+    (benchmarks/RESULTS.md round-4 footnote); timing per-call therefore
+    measures the tunnel in bad windows, not the kernel. One scanned call
+    runs ``inner`` frames per host round-trip, so the rig tax amortizes
+    to noise — the analog of the reference timing its frame loop, not
+    its dispatch (CLEngineBase.cpp:193-196).
+
+    ``f`` must return a scalar that DEPENDS on all work to be timed
+    (e.g. the mean image, or the sum of every gradient leaf) so nothing
+    is dead-code-eliminated; frames inside the scan use consecutive
+    distinct frame numbers starting at the call's base argument.
+
+    ``data``: optional pytree of device arrays ``f`` needs (scene,
+    accel, ...), passed as a REAL jit argument — large arrays must not
+    ride in as closure constants, or they get embedded in the HLO
+    payload itself (the tunneled remote compiler rejects such programs
+    outright: HTTP 413 at sponza scale). With ``data``, ``f`` is called
+    as ``f(frame, data)``.
+    """
+    def batched(base, data=None):
+        def body(c, k):
+            fr = jnp.uint32(base) + k
+            return c + (f(fr) if data is None else f(fr, data)), None
+        tot, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32),
+            jnp.arange(inner, dtype=jnp.uint32))
+        return tot
+
+    return jax.jit(batched)
+
+
+def time_scan_fn(f: Callable[..., Any], inner: int = 8, iters: int = 5,
+                 warmup: int = 1, data: Any = None) -> float:
+    """Median seconds per FRAME of ``f`` (see ``scan_frames``): each
+    timed sample is one host-synchronized call executing ``inner``
+    distinct frames, divided by ``inner``. Distinct bases per sample keep
+    every frame's arguments unique (identical-argument calls can be
+    served cached on this rig). ``data`` is forwarded per scan_frames."""
+    batched = scan_frames(f, inner)
+    sec = time_fn(
+        lambda i: batched(jnp.asarray((7919 * (i + 1)) & 0xFFFFFFFF,
+                                      jnp.uint32), data),
+        iters=iters, warmup=warmup)
+    return sec / inner
 
 
 def bounce_occupancy(scene, camera, cfg, frame: int = 0):

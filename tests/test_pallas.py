@@ -202,3 +202,30 @@ def test_clustered_rows_gradients_match_bvh():
     g_cl = np.asarray(jax.grad(loss)(kd, "pallas"))
     scale = max(np.abs(g_bvh).max(), 1e-6)
     np.testing.assert_allclose(g_cl / scale, g_bvh / scale, atol=1e-4)
+
+
+def test_prebuilt_accel_tracks_material_updates():
+    """A prebuilt accel must keep responding to LIVE material updates:
+    make_intersectors refreshes the attrs' material columns from the
+    scene's current materials (ClusteredGeometry.slot_mat), so the
+    documented build-once flow stays correct for material optimization
+    (round-4 advisor finding)."""
+    import mini_opencl_raytracer_tpu as mrt
+    from mini_opencl_raytracer_tpu.models.procedural import bunny_scene
+
+    scene = bunny_scene(target_tris=4000)
+    cam = mrt.Camera.default()
+    cfg = mrt.RenderConfig(width=16, height=16, bounces=2,
+                           backend="pallas")
+    accel = mrt.build_accel(scene, cfg)
+
+    s2 = scene.replace(materials=scene.materials.replace(
+        diffuse=scene.materials.diffuse * 0.25))
+    # Ground truth: fresh accel built from the updated scene.
+    want = np.asarray(mrt.render_sample(s2, cam, cfg))
+    # Stale-risk path: accel built from the ORIGINAL materials.
+    got = np.asarray(mrt.render_sample(s2, cam, cfg, accel=accel))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # And it must differ from the original-materials image.
+    base = np.asarray(mrt.render_sample(scene, cam, cfg, accel=accel))
+    assert np.abs(base - want).max() > 1e-3
