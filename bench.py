@@ -8,13 +8,16 @@ jit(value_and_grad) of the mean rendered radiance w.r.t. the float scene
 leaves — a full differentiable render step on the auto-resolved backend
 (the fused bounce megakernel for Cornell), not just forward.
 
-Rig-proof timing (round 5): each timed sample executes INNER distinct
-frame steps inside one jitted lax.scan (utils.metrics.time_scan_fn) and
-divides by INNER — the per-dispatch tunnel round-trip (measured 2.5-33 ms
-floor for the same frame hours apart) amortizes to noise, the analog of
-the reference timing its frame loop rather than its dispatch
-(CLEngineBase.cpp:193-196). Each scanned frame uses a distinct seed and
-the timed scalar sums every gradient leaf, so nothing is cached or DCE'd.
+Rig-proof slope timing (round 5): the same jitted frame-step scan runs
+at two lengths (4 and 12 steps), interleaved, and the metric is the
+median SLOPE (T_hi - T_lo) / 8 — the marginal cost of one step
+(utils.metrics.time_scan_slope). The slope cancels the tunneled rig's
+per-dispatch round-trip constant exactly (measured 2.5-33 ms for the
+same call within hours) while keeping everything a step really costs;
+this is the analog of the reference timing its frame loop rather than
+its dispatch (CLEngineBase.cpp:193-196). Each scanned step uses a
+distinct seed and the timed scalar sums every gradient leaf, so nothing
+is cached or dead-code-eliminated.
 
 vs_baseline is measured against the driver-set north-star target of
 1e9 rays/s/chip (the reference publishes no numbers — BASELINE.md).
@@ -33,16 +36,21 @@ def main() -> int:
     import mini_opencl_raytracer_tpu as mrt
     from mini_opencl_raytracer_tpu import grad as gradlib
     from mini_opencl_raytracer_tpu.render import resolve_backend
-    from mini_opencl_raytracer_tpu.utils.metrics import time_scan_fn
+    from mini_opencl_raytracer_tpu.utils.metrics import time_scan_slope
 
     W, H, B = 1920, 1080, 9
     scene = mrt.cornell_scene()
     camera = mrt.Camera.default()
     cfg = mrt.RenderConfig(width=W, height=H, bounces=B, backend="auto")
     backend = resolve_backend(scene, cfg)  # Cornell is mega-eligible
+    # Build-once accel (the non-differentiable limb-packed M-T table;
+    # gradient-safe — scene gradients flow through the live shading
+    # tables), like the reference's one-time scene upload.
+    accel = mrt.build_accel(scene, cfg)
 
     def loss(s, fr):
-        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr))
+        return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr,
+                                          accel=accel))
 
     def step_scalar(fr, s):
         g = gradlib.grad_float_leaves(lambda s_: loss(s_, fr), s)
@@ -51,7 +59,8 @@ def main() -> int:
         return sum(jnp.sum(l).astype(jnp.float32)
                    for l in jax.tree_util.tree_leaves(g))
 
-    dt = time_scan_fn(step_scalar, inner=8, iters=7, warmup=1, data=scene)
+    dt = time_scan_slope(step_scalar, inner_lo=4, inner_hi=12, iters=7,
+                         data=scene)
 
     rays = W * H * B
     rays_per_s = rays / dt

@@ -8,6 +8,8 @@ and the full differentiable step. Default backend "auto" resolves to the
 fused bounce megakernel on Cornell (ops/pallas/megakernel.py).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..'))
 import sys
 import time
 

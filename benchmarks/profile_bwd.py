@@ -12,6 +12,8 @@ backend):
 exclude scan/residual-stacking/grad-unpack overhead at the XLA level.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..'))
 import time
 
 import jax

@@ -5,6 +5,8 @@ the forward / backward kernels after each cut, isolating where the
 device time actually goes. Diagnostic tool — wrong images by design.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..'))
 import time
 
 import jax

@@ -36,9 +36,9 @@ from mini_opencl_raytracer_tpu import grad as gradlib
 from mini_opencl_raytracer_tpu.models.procedural import (bunny_scene,
                                                          sponza_scene)
 from mini_opencl_raytracer_tpu.utils.metrics import (render_metrics,
-                                                     time_scan_fn)
+                                                     time_scan_slope)
 
-INNER = 8  # frames per timed scan
+INNER = (8, 40)  # (lo, hi) scan lengths for slope timing
 
 
 def _build_accel_timed(scene, cfg):
@@ -57,7 +57,7 @@ def _build_accel_timed(scene, cfg):
     return accel, dt
 
 
-def _measure_forward(scene, cfg, camera, iters, accel=None):
+def _measure_forward(scene, cfg, camera, iters, accel=None, inner=None):
     # scene/accel ride as REAL jit arguments (time_scan_fn's ``data``):
     # closure constants get embedded in the HLO payload and the remote
     # compiler rejects sponza-size programs (HTTP 413).
@@ -65,12 +65,13 @@ def _measure_forward(scene, cfg, camera, iters, accel=None):
         s, acc = data
         return jnp.mean(mrt.render_sample(s, camera, cfg, frame=fr,
                                           accel=acc))
-    sec = time_scan_fn(frame, inner=INNER, iters=iters,
-                       data=(scene, accel))
+    lo, hi = inner or INNER
+    sec = time_scan_slope(frame, inner_lo=lo, inner_hi=hi, iters=iters,
+                          data=(scene, accel))
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
-def _measure_fwd_bwd(scene, cfg, camera, iters, accel=None):
+def _measure_fwd_bwd(scene, cfg, camera, iters, accel=None, inner=None):
     def frame(fr, data):
         s, acc = data
         g = gradlib.grad_float_leaves(
@@ -80,8 +81,9 @@ def _measure_fwd_bwd(scene, cfg, camera, iters, accel=None):
         # Sum every gradient leaf so no backward work is DCE'd.
         return sum(jnp.sum(l).astype(jnp.float32)
                    for l in jax.tree_util.tree_leaves(g))
-    sec = time_scan_fn(frame, inner=INNER, iters=iters,
-                       data=(scene, accel))
+    lo, hi = inner or INNER
+    sec = time_scan_slope(frame, inner_lo=lo, inner_hi=hi, iters=iters,
+                          data=(scene, accel))
     return render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
 
 
@@ -89,8 +91,11 @@ def config_1(iters, backend):
     """Cornell 512x512, primary rays + point light (CPU-runnable)."""
     scene = mrt.cornell_scene()
     cfg = mrt.RenderConfig(width=512, height=512, bounces=1, backend=backend)
-    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters)
+    accel, build_s = _build_accel_timed(scene, cfg)
+    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
+                         accel=accel)
     m["config"] = "1: cornell 512x512 primary+point"
+    m["accel_build_seconds"] = build_s
     return m
 
 
@@ -107,8 +112,11 @@ def config_2(iters, backend):
     cfg = mrt.RenderConfig(width=1920, height=1080, bounces=2,
                            backend=backend, shadow_rays=True,
                            direct_specular=True)
-    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters)
+    accel, build_s = _build_accel_timed(scene, cfg)
+    m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
+                         accel=accel)
     m["config"] = "2: cornell 1080p shadows+phong multi-light"
+    m["accel_build_seconds"] = build_s
     return m
 
 
@@ -118,18 +126,23 @@ def config_3(iters, backend):
     cfg = mrt.RenderConfig(width=512, height=512, bounces=2, backend=backend)
     accel, build_s = _build_accel_timed(scene, cfg)
     m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
-                         accel=accel)
+                         accel=accel, inner=(4, 16))
     m["config"] = f"3: bunny-scale ({scene.num_triangles} tris) 512x512"
     m["accel_build_seconds"] = build_s
     return m
 
 
 def config_4(iters, backend):
-    """4-bounce differentiable Cornell: fwd+bwd step."""
+    """4-bounce differentiable Cornell: fwd+bwd step. The prebuilt mega
+    accel is gradient-safe (the M-T table is non-differentiable by
+    design; scene gradients flow through the live shading tables)."""
     scene = mrt.cornell_scene()
     cfg = mrt.RenderConfig(width=512, height=512, bounces=4, backend=backend)
-    m = _measure_fwd_bwd(scene, cfg, mrt.Camera.default(), iters)
+    accel, build_s = _build_accel_timed(scene, cfg)
+    m = _measure_fwd_bwd(scene, cfg, mrt.Camera.default(), iters,
+                         accel=accel)
     m["config"] = "4: cornell 512x512 4-bounce fwd+bwd"
+    m["accel_build_seconds"] = build_s
     return m
 
 
@@ -141,7 +154,7 @@ def config_5(iters, backend):
                            backend=backend)
     accel, build_s = _build_accel_timed(scene, cfg)
     m = _measure_forward(scene, cfg, mrt.Camera.default(), iters,
-                         accel=accel)
+                         accel=accel, inner=(2, 8))
     m["config"] = f"5: sponza-scale ({scene.num_triangles} tris) 4K"
     m["accel_build_seconds"] = build_s
     return m
@@ -192,18 +205,23 @@ def main() -> int:
                         f"{m['seconds_per_frame']*1e3:.1f} | "
                         f"{m['mrays_per_second']:.1f} | {acc} |\n")
         f.write(
-            "\nTiming method (rig-proof, round 5): each timed sample "
-            "executes 8 distinct\nframes inside ONE jitted lax.scan and "
-            "divides by 8 (utils.metrics.time_scan_fn),\nso the "
-            "tunneled-TPU rig's per-dispatch round-trip amortizes to "
-            "noise; samples are\nhard-synchronized by a host fetch of a "
-            "scalar that depends on every output\n(`block_until_ready` "
-            "is not a reliable barrier on this rig), the median of "
-            "--iters\nsamples is reported, and every frame uses a "
-            "distinct seed. Acceleration\nstructures are built once on "
-            "the host outside the timed frame (build_accel)\nand "
-            "reported in their own column, like the reference's "
-            "load-time BVH build\n(CLBVHnode.cpp:185-207).\n")
+            "\nTiming method (rig-proof slope timing, round 5): each "
+            "config runs the SAME jitted\nframe scan at two lengths "
+            "(lo, hi) interleaved in one process and reports the\n"
+            "median slope (T_hi - T_lo) / (hi - lo) "
+            "(utils.metrics.time_scan_slope). The slope\ncancels the "
+            "tunneled rig's per-dispatch round-trip constant exactly "
+            "(measured\n2.5-33 ms for the same call within hours — at "
+            "small frames it dominates any\nper-call number) while "
+            "keeping everything a frame really costs; interleaving\n"
+            "guards against the rig's slow-window drift. Samples are "
+            "hard-synchronized by a\nhost fetch of a scalar depending "
+            "on every output (`block_until_ready` is not a\nreliable "
+            "barrier here) and every frame uses a distinct seed. "
+            "Acceleration\nstructures are built once on the host "
+            "outside the timed frame (build_accel) and\nreported in "
+            "their own column, like the reference's load-time BVH "
+            "build\n(CLBVHnode.cpp:185-207).\n")
     print(f"wrote {path}", file=sys.stderr)
     return 0
 

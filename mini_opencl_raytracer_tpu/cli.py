@@ -28,7 +28,7 @@ from . import (Camera, Lights, RenderConfig, RenderState, accumulate,
                cornell_scene, load_scene, render_sample, to_image)
 from .utils import checkpoint as ckpt
 from .utils.image import write_npy, write_pfm, write_png
-from .utils.metrics import render_metrics, time_fn
+from .utils.metrics import render_metrics
 
 
 def _add_render_args(p: argparse.ArgumentParser) -> None:
@@ -73,7 +73,12 @@ def _build(args):
 
 def cmd_render(args) -> int:
     scene, camera, cfg = _build(args)
-    sample = jax.jit(lambda s, c, f: render_sample(s, c, cfg, frame=f),
+    # Build the acceleration structure once, outside the frame loop —
+    # the reference's load-time build (CLBVHnode.cpp:185-207).
+    from .render import build_accel
+    accel = build_accel(scene, cfg)
+    sample = jax.jit(lambda s, c, a, f: render_sample(s, c, cfg, frame=f,
+                                                      accel=a),
                      static_argnums=())
     state = RenderState.create(cfg)
     start = 0
@@ -90,7 +95,7 @@ def cmd_render(args) -> int:
     f = start
     try:
         while f < end:
-            state = accumulate(state, sample(scene, camera, f))
+            state = accumulate(state, sample(scene, camera, accel, f))
             f += 1
             if (endless and args.checkpoint
                     and f % args.checkpoint_every == 0):
@@ -113,14 +118,20 @@ def cmd_render(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    from .render import resolve_backend
+    from .render import build_accel, resolve_backend
+    from .utils.metrics import time_scan_fn
     scene, camera, cfg = _build(args)
-    # Scalar output + per-iteration frame seed: see utils.metrics.time_fn
-    # (host-fetch sync; distinct frames defeat identical-call caching).
-    f = jax.jit(lambda s, c, fr: jnp.mean(
-        render_sample(s, c, cfg, frame=fr)))
-    sec = time_fn(lambda i: f(scene, camera, jnp.uint32(i)),
-                  iters=args.iters)
+    accel = build_accel(scene, cfg)
+
+    # Rig-proof timing (utils.metrics.time_scan_fn): 8 distinct frames
+    # per jitted scan, host-fetch synchronized, scene/accel as real jit
+    # arguments.
+    def frame(fr, data):
+        s, c, a = data
+        return jnp.mean(render_sample(s, c, cfg, frame=fr, accel=a))
+
+    sec = time_scan_fn(frame, inner=8, iters=args.iters,
+                       data=(scene, camera, accel))
     m = render_metrics(sec, cfg.width, cfg.height, cfg.bounces, cfg.spp)
     m.update(backend=resolve_backend(scene, cfg), width=cfg.width,
              height=cfg.height, bounces=cfg.bounces,

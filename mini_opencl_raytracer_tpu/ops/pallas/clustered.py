@@ -521,7 +521,11 @@ def _clustered_kernel(*refs, num_supers: int, backface_cull: bool,
             mask_scratch[pl.ds(0, NSLOTS), 0:1] = s2c
 
             # Pass A: launch DMAs for slotted hit clusters; record
-            # slot -> cluster id.
+            # slot -> cluster id. (Static trip count + pl.when guards:
+            # a DYNAMIC fori bound of min(n_hit, NSLOTS) was measured a
+            # wash on incoherent wavefronts and -9% on coherent ones —
+            # Mosaic's dynamic while-loop costs more than the skipped
+            # guarded iterations save.)
             n_hit = jnp.sum(hits_f).astype(jnp.int32)
             def launch(k, _):
                 @pl.when(k < n_hit)

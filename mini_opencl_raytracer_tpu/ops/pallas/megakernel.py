@@ -1556,8 +1556,34 @@ def eligible(scene: Scene, cfg: RenderConfig) -> bool:
             and cfg.jnp_dtype() == jnp.float32)
 
 
+def build_accel(geometry: Geometry) -> jax.Array:
+    """Prebuilt mega-backend acceleration data: the limb-packed MXU M-T
+    table ([4*T_pad, 96] bf16, build_mt_table). The table is
+    non-differentiable BY DESIGN (closest-hit selection is discrete;
+    gradients flow through the winner replay), so prebuilding it loses
+    nothing — and its 3-limb bf16 split is pinned by optimization
+    barriers that block XLA's loop-invariant hoisting, so building it
+    per frame costs ~1.6 ms of tiny-kernel launches inside every frame
+    loop (measured; the whole 512x512 1-bounce kernel is ~0.3 ms).
+    Build once per geometry, outside jit, like the reference's one-time
+    scene upload (CLRaytracer.cpp setup); REBUILD after vertex changes.
+    The differentiable tables (materials/lights) stay live per frame."""
+    return build_mt_table(geometry)
+
+
+def _check_mt(mt: jax.Array, geometry: Geometry) -> jax.Array:
+    expect = (4 * _mt_block_pad(geometry.v0.shape[0]), _MT_LIMB_K)
+    if tuple(mt.shape) != expect:
+        raise ValueError(
+            f"mega accel shape {tuple(mt.shape)} does not match this "
+            f"scene (expect {expect}) — rebuild with "
+            f"megakernel.build_accel")
+    return mt
+
+
 def trace_paths_mega_cam(scene: Scene, cfg: RenderConfig, camera,
-                         pixel_ids: jax.Array, frame) -> jax.Array:
+                         pixel_ids: jax.Array, frame,
+                         accel: jax.Array = None) -> jax.Array:
     """trace_paths_mega with raygen fused into the first bounce kernel:
     (camera, pixel ids, frame) -> radiance [R, 3], no host-side
     generate_rays / pixel_seeds and no o/d/seeds HBM round trip into
@@ -1572,7 +1598,8 @@ def trace_paths_mega_cam(scene: Scene, cfg: RenderConfig, camera,
     from ..linalg import cross
     tableT = build_mega_table(scene.geometry, scene.materials)
     lv = pack_lights(scene.lights)
-    mt_table = build_mt_table(scene.geometry)
+    mt_table = (build_mt_table(scene.geometry) if accel is None
+                else _check_mt(accel, scene.geometry))
     R = pixel_ids.shape[0]
 
     px = (pixel_ids % jnp.uint32(cfg.width)).astype(jnp.float32)
@@ -1614,7 +1641,8 @@ def trace_paths_mega_cam(scene: Scene, cfg: RenderConfig, camera,
 
 
 def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
-                     directions: jax.Array, seeds: jax.Array) -> jax.Array:
+                     directions: jax.Array, seeds: jax.Array,
+                     accel: jax.Array = None) -> jax.Array:
     """Drop-in replacement for ops/integrator.trace_paths running each
     bounce fused in one Pallas kernel. Returns radiance [R, 3]."""
     if not eligible(scene, cfg):
@@ -1626,7 +1654,8 @@ def trace_paths_mega(scene: Scene, cfg: RenderConfig, origins: jax.Array,
     lv = pack_lights(scene.lights)
     R = origins.shape[0]
     # Non-differentiable limb-packed MXU M-T table (see build_mt_table).
-    mt_table = build_mt_table(scene.geometry)
+    mt_table = (build_mt_table(scene.geometry) if accel is None
+                else _check_mt(accel, scene.geometry))
 
     def vec_panels(a, zfill=0.0):
         return jnp.stack([_to_panels(a[:, 0], R), _to_panels(a[:, 1], R),

@@ -107,6 +107,11 @@ def build_accel(scene: Scene, cfg: RenderConfig):
     if backend == "pallas":
         return pallas_mod.build_accel(scene.geometry, cfg,
                                       materials=scene.materials)
+    if backend == "mega":
+        # Limb-packed M-T table (non-differentiable by design); its
+        # per-frame rebuild otherwise costs ~1.6 ms of barrier-pinned
+        # tiny kernels inside every frame loop (megakernel.build_accel).
+        return mega_mod.build_accel(scene.geometry)
     return None
 
 
@@ -188,11 +193,13 @@ def render_sample(scene: Scene, camera: Camera, cfg: RenderConfig,
             # (megakernel.trace_paths_mega_cam) — no host-side
             # generate_rays and no o/d/seeds round trip through HBM.
             radiance = mega_mod.trace_paths_mega_cam(scene, cfg, camera,
-                                                     pixel_ids, fr)
+                                                     pixel_ids, fr,
+                                                     accel=accel)
         elif backend == "mega":
             seeds = rng.pixel_seeds(pixel_ids, fr)
             o, d = generate_rays(camera, cfg, pixel_ids, seeds)
-            radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds)
+            radiance = mega_mod.trace_paths_mega(scene, cfg, o, d, seeds,
+                                                 accel=accel)
         else:
             seeds = rng.pixel_seeds(pixel_ids, fr)
             o, d = generate_rays(camera, cfg, pixel_ids, seeds)

@@ -100,13 +100,61 @@ def time_scan_fn(f: Callable[..., Any], inner: int = 8, iters: int = 5,
     timed sample is one host-synchronized call executing ``inner``
     distinct frames, divided by ``inner``. Distinct bases per sample keep
     every frame's arguments unique (identical-argument calls can be
-    served cached on this rig). ``data`` is forwarded per scan_frames."""
+    served cached on this rig). ``data`` is forwarded per scan_frames.
+
+    NOTE: the result still contains per-call-round-trip/inner — use
+    time_scan_slope for numbers that must exclude the rig constant."""
     batched = scan_frames(f, inner)
     sec = time_fn(
         lambda i: batched(jnp.asarray((7919 * (i + 1)) & 0xFFFFFFFF,
                                       jnp.uint32), data),
         iters=iters, warmup=warmup)
     return sec / inner
+
+
+def time_scan_slope(f: Callable[..., Any], inner_lo: int = 8,
+                    inner_hi: int = 40, iters: int = 5,
+                    data: Any = None) -> float:
+    """Marginal seconds per frame of ``f``: the SLOPE between two scan
+    lengths, median over ``iters`` interleaved (lo, hi) pairs.
+
+    The tunneled rig charges every dispatch a round-trip constant that
+    was measured anywhere from 2.5 to 33 ms within hours on the SAME
+    workload — at small frames it dominates any per-call measurement
+    (a 0.16 ms 512x512 frame timed 4.5 ms at inner=8). Timing the same
+    scanned program at two lengths and taking
+    (T_hi - T_lo) / (inner_hi - inner_lo) cancels the constant exactly
+    and keeps everything real a frame costs (kernel launches included);
+    interleaving the lo/hi samples inside one process also guards
+    against the rig's multi-x slow-window drift, which breaks any
+    A-then-B comparison across minutes. This matches the reference's
+    timing of its frame LOOP rather than its dispatch path
+    (CLEngineBase.cpp:193-196).
+    """
+    b_lo = scan_frames(f, inner_lo)
+    b_hi = scan_frames(f, inner_hi)
+    import time as _time
+
+    import numpy as np
+
+    def sync(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def run(b, base):
+        t0 = _time.perf_counter()
+        sync(b(jnp.asarray(base & 0xFFFFFFFF, jnp.uint32), data))
+        return _time.perf_counter() - t0
+
+    # Warm both programs (compile + first-run effects).
+    run(b_lo, 7)
+    run(b_hi, 11)
+    slopes = []
+    for i in range(iters):
+        t_lo = run(b_lo, 7919 * (2 * i + 1))
+        t_hi = run(b_hi, 7919 * (2 * i + 2))
+        slopes.append((t_hi - t_lo) / (inner_hi - inner_lo))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def bounce_occupancy(scene, camera, cfg, frame: int = 0):

@@ -214,3 +214,18 @@ def test_mega_spp_and_frames_match_bruteforce(cornell):
     i_b = np.asarray(mrt.render_radiance(cornell, CAM, cfg_b, frames=2))
     i_m = np.asarray(mrt.render_radiance(cornell, CAM, cfg_m, frames=2))
     np.testing.assert_allclose(i_m, i_b, atol=2e-5, rtol=1e-4)
+
+
+def test_mega_prebuilt_accel_identical(cornell):
+    """The mega accel (prebuilt limb-packed M-T table) must be
+    bit-identical to the per-frame build: it is a pure hoist of
+    non-differentiable selection data (megakernel.build_accel)."""
+    import mini_opencl_raytracer_tpu as mrt
+    cam = mrt.Camera.default()
+    cfg = mrt.RenderConfig(width=32, height=32, bounces=3)
+    accel = mrt.build_accel(cornell, cfg)
+    assert accel is not None
+    a = np.asarray(mrt.render_sample(cornell, cam, cfg, frame=2))
+    b = np.asarray(mrt.render_sample(cornell, cam, cfg, frame=2,
+                                     accel=accel))
+    np.testing.assert_array_equal(a, b)
