@@ -51,8 +51,10 @@ def _build_accel_timed(scene, cfg):
     jax.block_until_ready(jax.tree_util.tree_leaves(accel)[0])
     t0 = time.perf_counter()
     accel = mrt.build_accel(scene, cfg)
-    import numpy as np
-    np.asarray(jax.tree_util.tree_leaves(accel)[0])[:1]
+    # Sync via a device-side SLICE fetch: np.asarray(leaf)[:1] would
+    # pull the entire multi-hundred-MB table through the tunnel first
+    # (it inflated this column ~10x in earlier rounds).
+    float(jax.tree_util.tree_leaves(accel)[0].reshape(-1)[0])
     dt = time.perf_counter() - t0
     return accel, dt
 

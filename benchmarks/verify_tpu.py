@@ -64,13 +64,18 @@ def main() -> int:
             mx = float(jnp.max(err))
             mean = float(jnp.mean(err))
             frac = float(jnp.mean(err > ERR_TOL))
+            # Absolute count of entries beyond tol: the cross-round
+            # TREND statistic — a genuine 1-px kernel bug shows up as
+            # this count stepping up between rounds even while the mean
+            # gate still passes (VERDICT r4 weak #7).
+            cnt = int(jnp.sum(err > ERR_TOL))
             ok = ("PASS" if mean <= MEAN_TOL and frac <= FRAC_TOL
                   else "FAIL")
-            rows.append((name, f"{b} ({resolved})", mx, mean, frac, ok,
-                         dt))
+            rows.append((name, f"{b} ({resolved})", mx, mean, frac, cnt,
+                         ok, dt))
             print(f"{name:34s} {b:10s} -> {resolved:9s} "
                   f"max={mx:.2e} mean={mean:.2e} frac>{ERR_TOL:.0e}="
-                  f"{frac:.1e} {ok}", flush=True)
+                  f"{frac:.1e} n={cnt} {ok}", flush=True)
 
     camera = mrt.Camera.default()
     cornell = mrt.cornell_scene()
@@ -139,7 +144,12 @@ def main() -> int:
         print(f"grad {name:30s} vs-{oracle_backend}: rel-max={dmax:.2e} "
               f"{ok}", flush=True)
 
-        for fd_name, get, put, h in fd_specs:
+        # Central differences with PER-PARAMETER step and tolerance,
+        # mirroring tests/test_grad.py: a path tracer's loss has
+        # discrete per-path decisions, so the FD step must be large
+        # enough to average over branch flips and each check carries an
+        # atol for the residual flip noise (the tests' own bars).
+        for fd_name, get, put, h, rtol, atol in fd_specs:
             theta0 = float(get(scene))
             lp = float(jax.jit(lambda s: loss(s, c, accel))(
                 put(scene, theta0 + h)))
@@ -147,9 +157,9 @@ def main() -> int:
                 put(scene, theta0 - h)))
             fd = (lp - lm) / (2.0 * h)
             ad = float(get(g))
-            denom = max(abs(fd), abs(ad), 1e-6)
-            rel = abs(fd - ad) / denom
-            ok = "PASS" if rel <= 5e-2 else "FAIL"
+            err = abs(fd - ad)
+            ok = "PASS" if err <= atol + rtol * abs(fd) else "FAIL"
+            rel = err / max(abs(fd), abs(ad), 1e-9)
             grad_rows.append((name, f"FD {fd_name}", rel, ok))
             print(f"grad {name:30s} FD {fd_name}: ad={ad:+.4e} "
                   f"fd={fd:+.4e} rel={rel:.2e} {ok}", flush=True)
@@ -170,45 +180,84 @@ def main() -> int:
         return s.replace(lights=s.lights.replace(
             intensity=s.lights.intensity.at[0].set(v)))
 
+    # FD depth caveat (measured, CPU + TPU): at 4 bounces the loss's
+    # higher kd-derivatives make central differences truncation-limited
+    # in f32 (fd converges toward ad as h shrinks but f32 cancellation
+    # floors h) — so the deep config carries the vs-oracle gate plus the
+    # linear-in-parameter light FD, and the kd FD runs at 2 bounces
+    # where FD vs AD agrees to ~0.2%.
     gcheck("cornell 256x256 4b mega", cornell, cfg_g, "mega",
            "bruteforce",
-           [("kd[1].r", kd_get, kd_put, 1e-3),
-            ("light.I", li_get, li_put, 1e-2)])
+           [("light.I", li_get, li_put, 1e-1, 2e-2, 1e-4)])
+    gcheck("cornell 256x256 2b mega", cornell,
+           mrt.RenderConfig(width=256, height=256, bounces=2), "mega",
+           "bruteforce",
+           [("kd[1].r", kd_get, kd_put, 1e-2, 5e-2, 1e-3)])
 
     # Camera gradient through the fused-raygen bounce-0 kernel (d_cam
-    # accumulated in-kernel): autodiff w.r.t. the camera position vs FD
-    # through the same compiled render.
+    # accumulated in-kernel): the meaningful miscompile gate is
+    # autodiff-vs-autodiff against the pure-XLA bruteforce backend's
+    # camera gradient on the same chip. (FD is NOT a valid oracle here:
+    # with hard visibility, camera motion flips per-pixel winners — a
+    # discontinuous term the true a.e. derivative excludes but any
+    # finite step measures; tests/test_grad.py's camera FD test passes
+    # only with its interior-dominated setup and a 0.2/5e-2 band.)
     import dataclasses as dc
     c_mega = dc.replace(cfg_g, backend="mega")
+    c_brute = dc.replace(cfg_g, backend="bruteforce")
 
-    def cam_loss(x):
+    def cam_loss(x, cc):
         cam2 = camera.replace(position=camera.position.at[0].set(x))
-        return jnp.mean(mrt.render_radiance(cornell, cam2, c_mega,
+        return jnp.mean(mrt.render_radiance(cornell, cam2, cc,
                                             frames=1))
 
-    x0 = float(camera.position[0])
-    ad = float(jax.jit(jax.grad(cam_loss))(jnp.float32(x0)))
-    h = 2e-3
-    fd = (float(jax.jit(cam_loss)(jnp.float32(x0 + h)))
-          - float(jax.jit(cam_loss)(jnp.float32(x0 - h)))) / (2 * h)
-    rel = abs(fd - ad) / max(abs(fd), abs(ad), 1e-6)
-    ok = "PASS" if rel <= 5e-2 else "FAIL"
-    grad_rows.append(("cornell 256x256 4b mega", "FD camera.pos.x", rel,
-                      ok))
-    print(f"grad camera.pos.x: ad={ad:+.4e} fd={fd:+.4e} rel={rel:.2e} "
-          f"{ok}", flush=True)
+    x0 = jnp.float32(float(camera.position[0]))
+    ad = float(jax.jit(jax.grad(lambda x: cam_loss(x, c_mega)))(x0))
+    ad_o = float(jax.jit(jax.grad(lambda x: cam_loss(x, c_brute)))(x0))
+    err = abs(ad - ad_o) / max(abs(ad_o), 1e-6)
+    ok = "PASS" if err <= 2e-3 else "FAIL"
+    grad_rows.append(("cornell 256x256 4b mega",
+                      "camera.pos.x vs bruteforce autodiff", err, ok))
+    print(f"grad camera.pos.x: mega={ad:+.4e} oracle={ad_o:+.4e} "
+          f"rel={err:.2e} {ok}", flush=True)
+
+    # Vertex FD rides the pure-silhouette setup (one triangle against
+    # the sky, tests/test_grad.py:_floating_triangle_scene): the soft
+    # edge smooths winner-vs-SKY coverage only, so a Cornell vertex —
+    # whose motion shifts wall-vs-box DEPTH boundaries — has
+    # discontinuities FD sees but the a.e. derivative excludes.
+    tri = mrt.Scene(
+        geometry=mrt.Geometry(
+            v0=jnp.array([[-4.0, 0.0, 4.0]]),
+            v1=jnp.array([[4.0, 0.0, 4.0]]),
+            v2=jnp.array([[0.0, 0.0, 12.0]]),
+            n0=jnp.array([[0.0, -1.0, 0.0]]),
+            n1=jnp.array([[0.0, -1.0, 0.0]]),
+            n2=jnp.array([[0.0, -1.0, 0.0]]),
+            uv0=jnp.zeros((1, 2)), uv1=jnp.zeros((1, 2)),
+            uv2=jnp.zeros((1, 2)),
+            mat_idx=jnp.zeros((1,), jnp.int32)),
+        materials=mrt.Materials(
+            diffuse=jnp.array([[0.7, 0.2, 0.2]]),
+            specular=jnp.zeros((1, 3)),
+            emission=jnp.zeros((1, 3)),
+            roughness=jnp.array([9999.0]),
+            ior=jnp.array([1.0])),
+        lights=mrt.Lights.default_point())
 
     def v_get(s):
-        return s.geometry.v0[2, 0]
+        return s.geometry.v2[0, 2]
 
     def v_put(s, v):
         return s.replace(geometry=s.geometry.replace(
-            v0=s.geometry.v0.at[2, 0].set(v)))
+            v2=s.geometry.v2.at[0, 2].set(v)))
 
-    gcheck("cornell 256x256 2b soft-edge", cornell,
-           mrt.RenderConfig(width=256, height=256, bounces=2), "mega",
-           "bruteforce", [("v0[2].x", v_get, v_put, 2e-3)],
-           soft=0.02)
+    gcheck("triangle 64x64 1b soft-edge", tri,
+           mrt.RenderConfig(width=64, height=64, bounces=1,
+                            specular_prob=0.0), "mega",
+           "bruteforce",
+           [("v2[0].z", v_get, v_put, 2e-2, 5e-2, 1e-3)],
+           soft=0.05)
 
     def bkd_get(s):
         return s.materials.diffuse[0, 1]
@@ -218,7 +267,7 @@ def main() -> int:
             diffuse=s.materials.diffuse.at[0, 1].set(v)))
 
     gcheck("bunny-4k 128x128 2b clustered", bunny, cfg_b, "pallas",
-           "bvh", [("kd[0].g", bkd_get, bkd_put, 1e-3)])
+           "bvh", [("kd[0].g", bkd_get, bkd_put, 1e-2, 5e-2, 1e-3)])
 
     path = os.path.join(os.path.dirname(__file__), "VERIFY_TPU.md")
     with open(path, "w") as f:
@@ -233,11 +282,18 @@ def main() -> int:
                 f"isolated lanes (measured 1 px / 262144\nat 9 bounces)"
                 f" — see the module docstring.\n\n")
         f.write("| Config | Backend | max | mean | frac>"
-                f"{ERR_TOL:.0e} | status | s/frame |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
-        for name, b, mx, mean, frac, ok, dt in rows:
+                f"{ERR_TOL:.0e} | n>{ERR_TOL:.0e} | status | s/frame "
+                "|\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for name, b, mx, mean, frac, cnt, ok, dt in rows:
             f.write(f"| {name} | {b} | {mx:.2e} | {mean:.2e} | "
-                    f"{frac:.1e} | {ok} | {dt:.2f} |\n")
+                    f"{frac:.1e} | {cnt} | {ok} | {dt:.2f} |\n")
+        f.write("\nThe `n>tol` column is the cross-round regression "
+                "trend: compare it to the\nprevious round's committed "
+                "table — a step up at equal configs means a kernel\n"
+                "or compiler change flipped more knife-edge paths and "
+                "needs investigation even\nif the mean gate still "
+                "passes.\n")
         f.write(
             "\n## Gradient verification (compiled on this chip)\n\n"
             "The full differentiable step — in-kernel VJP replay, "
@@ -252,7 +308,7 @@ def main() -> int:
         for name, chk, rel, ok in grad_rows:
             f.write(f"| {name} | {chk} | {rel:.2e} | {ok} |\n")
     print(f"wrote {path}")
-    all_ok = (all(r[5] == "PASS" for r in rows)
+    all_ok = (all(r[6] == "PASS" for r in rows)
               and all(r[3] == "PASS" for r in grad_rows))
     return 0 if all_ok else 1
 

@@ -110,6 +110,25 @@ class ClusteredGeometry(NamedTuple):
 ATTR_COLS = 128
 
 
+def _slots_from_leaf_info(leaf_info, T):
+    """Host-side (numpy) slot layout from the native SAH leaf ranges:
+    scatter each SAH leaf into its own CLUSTER-slot block. Returns
+    (order [T_pad] int32 — original tri index per slot, 0 on padding;
+    valid [T_pad] bool)."""
+    import numpy as np
+    order_np, starts, counts = leaf_info
+    C = max(len(starts), 1)
+    S = max(-(-C // SUPER), 1)
+    T_pad = S * SUPER * CLUSTER
+    slot_src = np.full((T_pad,), -1, np.int32)
+    if len(starts):
+        leaf_ids = np.repeat(np.arange(C, dtype=np.int64), counts)
+        within = np.arange(T, dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), counts)
+        slot_src[leaf_ids * CLUSTER + within] = order_np
+    return np.maximum(slot_src, 0), slot_src >= 0
+
+
 def build_clusters(geometry: Geometry,
                    leaf_info=None, materials=None) -> ClusteredGeometry:
     """Cluster the triangle soup and build the two AABB levels.
@@ -131,38 +150,40 @@ def build_clusters(geometry: Geometry,
     v2 = jax.lax.stop_gradient(geometry.v2).astype(jnp.float32)
     T = v0.shape[0]
 
+    st = None
+    if materials is not None:
+        from ..shading import build_shading_table
+        st = jax.lax.stop_gradient(
+            build_shading_table(geometry, materials).table)
+    mat_idx = geometry.mat_idx if materials is not None else None
+
     if leaf_info is not None:
-        import numpy as np
-        order_np, starts, counts = leaf_info
-        C = max(len(starts), 1)
-        S = max(-(-C // SUPER), 1)
-        C_pad = S * SUPER
-        T_pad = C_pad * CLUSTER
-        # Scatter each SAH leaf into its own CLUSTER-slot block.
-        slot_src = np.full((T_pad,), -1, np.int32)
-        if len(starts):
-            leaf_ids = np.repeat(np.arange(C, dtype=np.int64), counts)
-            within = np.arange(T, dtype=np.int64) - np.repeat(
-                starts.astype(np.int64), counts)
-            slot_src[leaf_ids * CLUSTER + within] = order_np
-        slot = jnp.asarray(slot_src)
-        valid = slot >= 0
-        order = jnp.maximum(slot, 0)
-        real = valid[:, None]
-    else:
-        cent = (v0 + v1 + v2) / 3.0
-        lo = jnp.min(cent, axis=0)
-        hi = jnp.max(cent, axis=0)
-        codes = morton3d((cent - lo) / jnp.maximum(hi - lo, 1e-12))
-        _, morder = jax.lax.sort_key_val(codes,
-                                         jnp.arange(T, dtype=jnp.int32))
-        C = max(-(-T // CLUSTER), 1)
-        S = max(-(-C // SUPER), 1)
-        C_pad = S * SUPER
-        T_pad = C_pad * CLUSTER
-        order = jnp.pad(morder, (0, T_pad - T))
-        valid = jnp.arange(T_pad) < T
-        real = valid[:, None]
+        order, valid = _slots_from_leaf_info(leaf_info, T)
+        return _assemble(v0, v1, v2, jnp.asarray(order),
+                         jnp.asarray(valid), st, mat_idx)
+    cent = (v0 + v1 + v2) / 3.0
+    lo = jnp.min(cent, axis=0)
+    hi = jnp.max(cent, axis=0)
+    codes = morton3d((cent - lo) / jnp.maximum(hi - lo, 1e-12))
+    _, morder = jax.lax.sort_key_val(codes,
+                                     jnp.arange(T, dtype=jnp.int32))
+    C = max(-(-T // CLUSTER), 1)
+    S = max(-(-C // SUPER), 1)
+    T_pad = S * SUPER * CLUSTER
+    order = jnp.pad(morder, (0, T_pad - T))
+    valid = jnp.arange(T_pad) < T
+    return _assemble(v0, v1, v2, order, valid, st, mat_idx)
+
+
+def _assemble(v0, v1, v2, order, valid, st, mat_idx) -> ClusteredGeometry:
+    """Pure-jnp accel assembly from a slot layout (the under-jit path
+    when no prebuilt accel is supplied): gather triangles into slot
+    order, build the limb-packed M-T rows and both AABB levels (and the
+    shading-row table when ``st`` is given). build_accel does the
+    gathers host-side instead (numpy) and jits only _device_tables —
+    XLA:TPU row gathers are slow and eager dispatch pays the rig
+    round-trip per op."""
+    real = valid[:, None]
 
     def take_pad(a):
         g = jnp.take(a, order, axis=0)
@@ -177,6 +198,32 @@ def build_clusters(geometry: Geometry,
     e2 = jnp.where(real, pv2 - pv0, 0.0)
     mtg = mk.mt_limb_rows(jnp.where(real, pv0, 0.0), e1, e2,
                           tb=CLUSTER, lane_pad=_MTG_LANES)
+    cl_aabb, sup_aabb = _aabb_levels(pv0, pv1, pv2, real)
+
+    attrs = None
+    slot_mat = None
+    if st is not None:
+        rows_ = jnp.take(st, order, axis=0)          # [T_pad, 34]
+        rows_ = jnp.where(real, rows_, 0.0)
+        attrs = jnp.pad(rows_, ((0, 0), (0, ATTR_COLS - rows_.shape[1])))
+        slot_mat = jnp.where(valid, jnp.take(mat_idx, order),
+                             0).astype(jnp.int32)
+
+    return ClusteredGeometry(
+        mtg=mtg,
+        cl_aabb=cl_aabb,
+        sup_aabb=sup_aabb,
+        slot_to_tri=slot_to_tri.astype(jnp.int32),
+        attrs=attrs,
+        slot_mat=slot_mat,
+    )
+
+
+def _aabb_levels(pv0, pv1, pv2, real):
+    """Cluster + super AABB levels from slot-ordered corners."""
+    T_pad = pv0.shape[0]
+    C_pad = T_pad // CLUSTER
+    S = C_pad // SUPER
     t_lo = jnp.where(real, jnp.minimum(jnp.minimum(pv0, pv1), pv2), _BIG)
     t_hi = jnp.where(real, jnp.maximum(jnp.maximum(pv0, pv1), pv2), -_BIG)
 
@@ -206,26 +253,28 @@ def build_clusters(geometry: Geometry,
         out = out.at[:n, 3:6].set(hi_)
         return out
 
-    attrs = None
-    slot_mat = None
-    if materials is not None:
-        from ..shading import build_shading_table
-        st = jax.lax.stop_gradient(
-            build_shading_table(geometry, materials).table)
-        rows_ = jnp.take(st, order, axis=0)          # [T_pad, 34]
-        rows_ = jnp.where(real, rows_, 0.0)
-        attrs = jnp.pad(rows_, ((0, 0), (0, ATTR_COLS - rows_.shape[1])))
-        slot_mat = jnp.where(valid, jnp.take(geometry.mat_idx, order),
-                             0).astype(jnp.int32)
+    return pack_aabb(cl_lo, cl_hi), pack_aabb(sup_lo, sup_hi)
 
-    return ClusteredGeometry(
-        mtg=mtg,
-        cl_aabb=pack_aabb(cl_lo, cl_hi),
-        sup_aabb=pack_aabb(sup_lo, sup_hi),
-        slot_to_tri=slot_to_tri.astype(jnp.int32),
-        attrs=attrs,
-        slot_mat=slot_mat,
-    )
+
+def _device_tables(pv0, pv1, pv2, valid):
+    """Device stage of build_accel: limb-packed M-T rows + both AABB
+    levels from PRE-GATHERED slot-ordered corners (one jitted
+    dispatch; corners arrive flat — see build_accel)."""
+    pv0 = pv0.reshape(-1, 3)
+    pv1 = pv1.reshape(-1, 3)
+    pv2 = pv2.reshape(-1, 3)
+    real = valid[:, None]
+    e1 = jnp.where(real, pv1 - pv0, 0.0)
+    e2 = jnp.where(real, pv2 - pv0, 0.0)
+    mtg = mk.mt_limb_rows(jnp.where(real, pv0, 0.0), e1, e2,
+                          tb=CLUSTER, lane_pad=_MTG_LANES)
+    cl_aabb, sup_aabb = _aabb_levels(pv0, pv1, pv2, real)
+    return mtg, cl_aabb, sup_aabb
+
+
+_device_tables_jit = jax.jit(_device_tables)
+_pad_attrs_jit = jax.jit(
+    lambda r: jnp.pad(r, ((0, 0), (0, ATTR_COLS - r.shape[1]))))
 
 
 def _slab_panel(aabb_cols, ox, oy, oz, ix, iy, iz, t_far,
@@ -731,15 +780,84 @@ def build_accel(geometry: Geometry, materials=None) -> ClusteredGeometry:
     rows so closest hits return winner attributes in-traversal."""
     import numpy as np
     from ... import native
+    # NOTE: fetch WITHOUT a dtype argument, then cast —
+    # np.asarray(jax_array, np.float32) takes a pathological
+    # per-element conversion path through the tunneled runtime
+    # (measured 162 s for three [260k, 3] arrays; plain fetch: 0.7 s).
+    import time as _time
+    timing = os.environ.get("MRT_BUILD_TIMING")
+    marks = [("start", _time.perf_counter())]
+
+    def mark(name):
+        if timing:
+            marks.append((name, _time.perf_counter()))
+
+    def fetch_f32(a):
+        return np.asarray(a).astype(np.float32, copy=False)
+
+    g = geometry
+    v0, v1, v2 = fetch_f32(g.v0), fetch_f32(g.v1), fetch_f32(g.v2)
+    mark("fetch corners")
     leaf_info = None
     if native.available():
-        leaf_info = native.sah_order(
-            np.asarray(geometry.v0, np.float32),
-            np.asarray(geometry.v1, np.float32),
-            np.asarray(geometry.v2, np.float32),
-            leaf_size=CLUSTER)
-    return build_clusters(geometry, leaf_info=leaf_info,
-                          materials=materials)
+        leaf_info = native.sah_order(v0, v1, v2, leaf_size=CLUSTER)
+    mark("native SAH")
+    if leaf_info is None:
+        return build_clusters(geometry, materials=materials)
+    # Host-side (numpy) gathers + ONE jitted device dispatch. XLA:TPU
+    # row gathers move <1M narrow rows/s and eager dispatch pays the
+    # rig round-trip per op, so the slot reordering, the shading-row
+    # snapshot, and the slot tables are plain numpy indexing here
+    # (milliseconds); the device stage only does the layout-friendly
+    # math (limb-packed M-T rows + AABB reductions).
+    order, valid = _slots_from_leaf_info(leaf_info, v0.shape[0])
+    real = valid[:, None]
+
+    def take_pad(a):
+        return np.where(real, a[order], _BIG).astype(np.float32)
+
+    pv0, pv1, pv2 = take_pad(v0), take_pad(v1), take_pad(v2)
+    mark("slot gathers")
+    mtg, cl_aabb, sup_aabb = _device_tables_jit(
+        jnp.asarray(pv0.ravel()), jnp.asarray(pv1.ravel()),
+        jnp.asarray(pv2.ravel()), jnp.asarray(valid))
+    mark("device tables")
+    attrs = None
+    slot_mat = None
+    if materials is not None:
+        # Host-side shading table (ops/shading.build_shading_table's
+        # exact column layout, assembled in numpy — building it on
+        # device eagerly + fetching measured 3.2 s at sponza scale).
+        mi = np.asarray(g.mat_idx)
+        st = np.concatenate([
+            v0, v1, v2,
+            fetch_f32(g.n0), fetch_f32(g.n1), fetch_f32(g.n2),
+            fetch_f32(g.uv0), fetch_f32(g.uv1), fetch_f32(g.uv2),
+            fetch_f32(materials.diffuse)[mi],
+            fetch_f32(materials.specular)[mi],
+            fetch_f32(materials.emission)[mi],
+            fetch_f32(materials.roughness)[mi][:, None]], axis=1)
+        mark("host shading table")
+        rows_ = np.where(real, st[order], 0.0).astype(np.float32)
+        # Upload the 34 real columns and pad to the 128-lane tile on
+        # device: uploading the padded [T_pad, 128] f32 table costs 4x
+        # the bytes over the tunnel (measured 5 s for sponza).
+        attrs = _pad_attrs_jit(jnp.asarray(rows_))
+        slot_mat = jnp.asarray(np.where(valid, mi[order], 0)
+                               .astype(np.int32))
+        mark("attrs upload")
+    out = ClusteredGeometry(
+        mtg=mtg, cl_aabb=cl_aabb, sup_aabb=sup_aabb,
+        slot_to_tri=jnp.asarray(
+            np.where(valid, order, 0).astype(np.int32)),
+        attrs=attrs, slot_mat=slot_mat)
+    if timing:
+        jax.block_until_ready(out.mtg)
+        marks.append(("sync", _time.perf_counter()))
+        for (a, ta), (b, tb) in zip(marks, marks[1:]):
+            print(f"build_accel {b}: {(tb - ta) * 1e3:.0f} ms",
+                  flush=True)
+    return out
 
 
 def _check_layout(cg: ClusteredGeometry) -> None:

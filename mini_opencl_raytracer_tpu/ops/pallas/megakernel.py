@@ -422,22 +422,35 @@ def mt_limb_rows(v0: jax.Array, e1: jax.Array, e2: jax.Array,
     zero-extended feature matrix."""
     T = v0.shape[0]
     n = jnp.cross(e1, e2)
-    rows = jnp.zeros((4, T, _MT_K), jnp.float32)
-    rows = rows.at[0, :, 0:3].set(-n)                     # det: d part
-    rows = rows.at[1, :, 0:3].set(jnp.cross(v0, e2))      # ud: d part
-    rows = rows.at[1, :, 3:6].set(e2)                     # ud: (o x d)
-    rows = rows.at[2, :, 0:3].set(-jnp.cross(v0, e1))     # vd: d part
-    rows = rows.at[2, :, 3:6].set(-e1)                    # vd: (o x d)
-    rows = rows.at[3, :, 6:9].set(n)                      # td: o part
-    rows = rows.at[3, :, 9].set(-jnp.sum(v0 * n, axis=1))  # td: const
-    blocked = (rows.reshape(4, T // tb, tb, _MT_K)
-               .transpose(1, 0, 2, 3).reshape(4 * T, _MT_K))
-    g0, g1, g2 = _split3_bf16(blocked, barrier=True)
+    # Build in TRANSPOSED [4, K, T] layout: with T (large, 128-tileable)
+    # as the minor dim every op here is layout-friendly. The obvious
+    # [4, T, 16] ``.at[...].set`` construction puts a 16-wide minor dim
+    # on every tensor, which XLA:TPU stores one padded tile per row —
+    # measured 68 s for a 266k-triangle build (this form: <1 s).
+    z = jnp.zeros((T,), jnp.float32)
+
+    def c3(a):
+        return (a[:, 0], a[:, 1], a[:, 2])
+
+    zeros = (z,) * 3
+    det_rows = (*c3(-n), *zeros, *zeros, *((z,) * 7))
+    ud_rows = (*c3(jnp.cross(v0, e2)), *c3(e2), *zeros, *((z,) * 7))
+    vd_rows = (*c3(-jnp.cross(v0, e1)), *c3(-e1), *zeros, *((z,) * 7))
+    td_rows = (*zeros, *zeros, *c3(n), -jnp.sum(v0 * n, axis=1),
+               *((z,) * 6))
+    A = jnp.stack([jnp.stack(det_rows), jnp.stack(ud_rows),
+                   jnp.stack(vd_rows), jnp.stack(td_rows)])  # [4, K, T]
+    g0, g1, g2 = _split3_bf16(A, barrier=True)
     limbs = [g0, g1, g2]
-    out = jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS], axis=1)
+    out = jnp.concatenate([limbs[i] for i, _ in _LIMB_PAIRS],
+                          axis=1)                     # [4, 6K, T] bf16
     if lane_pad > _MT_LIMB_K:
-        out = jnp.pad(out, ((0, 0), (0, lane_pad - _MT_LIMB_K)))
-    return out
+        out = jnp.pad(out, ((0, 0), (0, lane_pad - _MT_LIMB_K), (0, 0)))
+    # One tile-friendly transpose into row-major, then the block-major
+    # interleave (minor dim is lane_pad=96/128 from here on).
+    outT = jnp.transpose(out, (0, 2, 1))              # [4, T, lane_pad]
+    return (outT.reshape(4, T // tb, tb, lane_pad)
+            .transpose(1, 0, 2, 3).reshape(4 * T, lane_pad))
 
 
 def build_mt_table(geometry: Geometry) -> jax.Array:
@@ -1568,7 +1581,9 @@ def build_accel(geometry: Geometry) -> jax.Array:
     Build once per geometry, outside jit, like the reference's one-time
     scene upload (CLRaytracer.cpp setup); REBUILD after vertex changes.
     The differentiable tables (materials/lights) stay live per frame."""
-    return build_mt_table(geometry)
+    # One jitted dispatch: the limb split is ~30 barrier-pinned ops that
+    # would each pay the rig's per-dispatch round-trip eagerly.
+    return jax.jit(build_mt_table)(geometry)
 
 
 def _check_mt(mt: jax.Array, geometry: Geometry) -> jax.Array:
