@@ -1569,6 +1569,9 @@ def eligible(scene: Scene, cfg: RenderConfig) -> bool:
             and cfg.jnp_dtype() == jnp.float32)
 
 
+_build_mt_jit = jax.jit(lambda g: build_mt_table(g))
+
+
 def build_accel(geometry: Geometry) -> jax.Array:
     """Prebuilt mega-backend acceleration data: the limb-packed MXU M-T
     table ([4*T_pad, 96] bf16, build_mt_table). The table is
@@ -1582,8 +1585,9 @@ def build_accel(geometry: Geometry) -> jax.Array:
     scene upload (CLRaytracer.cpp setup); REBUILD after vertex changes.
     The differentiable tables (materials/lights) stay live per frame."""
     # One jitted dispatch: the limb split is ~30 barrier-pinned ops that
-    # would each pay the rig's per-dispatch round-trip eagerly.
-    return jax.jit(build_mt_table)(geometry)
+    # would each pay the rig's per-dispatch round-trip eagerly. The jit
+    # wrapper is module-level so repeat builds don't re-trace.
+    return _build_mt_jit(geometry)
 
 
 def _check_mt(mt: jax.Array, geometry: Geometry) -> jax.Array:
