@@ -131,3 +131,30 @@ def test_bounce_occupancy():
     assert occ.shape == (3,)
     assert ((occ >= 0) & (occ <= 1)).all()
     assert (np.diff(occ) <= 1e-6).all()
+
+
+def test_time_scan_slope_basic():
+    """The slope harness must return the MARGINAL per-frame cost of a
+    frame with real work (for a ~ns frame the slope is legitimately
+    noise around zero, so the test frame carries a matmul)."""
+    import jax.numpy as jnp
+    from mini_opencl_raytracer_tpu.utils.metrics import (scan_frames,
+                                                         time_scan_slope)
+
+    def heavy(fr, data):
+        x = data + fr.astype(jnp.float32)
+        return jnp.sum(x @ x)
+
+    data = jnp.ones((256, 256), jnp.float32)
+    sec = time_scan_slope(heavy, inner_lo=2, inner_hi=10, iters=3,
+                          data=data)
+    assert sec > 0.0 and sec < 1.0
+
+    def frame(fr, data):
+        return jnp.sum(data * fr.astype(jnp.float32))
+
+    # scan_frames sums distinct frames: 2 frames of sum(1*fr) from
+    # base=3 -> 3+4 = 7 per element * 128.
+    out = scan_frames(frame, 2)(jnp.uint32(3),
+                                jnp.ones((128,), jnp.float32))
+    assert float(out) == 128.0 * 7.0
