@@ -106,6 +106,17 @@ def main():
         spread = (len(rel4) >= 4 and min(rel4) < 0.7
                   and (max(rel4) - min(rel4)) > 0.1)
         q = lambda rs: ", ".join(f"{r:.2f}" for r in rs)
+        verdict = (
+            "SPREAD through the step: each bucket's gradient "
+            "all-reduce issues before the\nnext bucket's "
+            "forward+backward, which is the placement XLA's "
+            "async-collective and\nlatency-hiding-scheduler passes "
+            "need to overlap communication with compute on\nreal ICI."
+            if spread else
+            "CLUMPED: the all-reduces do NOT interleave with bucket "
+            "compute in the emitted\norder — the bucketing placement "
+            "has REGRESSED and real-ICI overlap cannot\nhappen; "
+            "investigate before trusting the bucketed path.")
         f.write(
             "\n### Placement evidence (grad_buckets=4, lowered "
             "program)\n\n"
@@ -113,12 +124,7 @@ def main():
             f"bucketed step's all-reduces\nsit at relative positions "
             f"[{q(sorted(set(round(r, 2) for r in rel4)))}] of the "
             f"{n4}-op function that contains them\n(0 = entry, 1 = "
-            f"exit) — "
-            f"{'SPREAD through the step' if spread else 'CLUMPED'}: "
-            "each bucket's gradient all-reduce issues before the\nnext "
-            "bucket's forward+backward, which is the placement XLA's "
-            "async-collective and\nlatency-hiding-scheduler passes need "
-            "to overlap communication with compute on\nreal ICI. (On "
+            f"exit) — {verdict} (On "
             "this CPU mesh the backend then sinks the sync collectives "
             "to the end\nof the schedule — collectives here are "
             "memcpys with nothing to hide — so the\ntable above bounds "

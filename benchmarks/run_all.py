@@ -51,10 +51,13 @@ def _build_accel_timed(scene, cfg):
     jax.block_until_ready(jax.tree_util.tree_leaves(accel)[0])
     t0 = time.perf_counter()
     accel = mrt.build_accel(scene, cfg)
-    # Sync via a device-side SLICE fetch: np.asarray(leaf)[:1] would
-    # pull the entire multi-hundred-MB table through the tunnel first
-    # (it inflated this column ~10x in earlier rounds).
-    float(jax.tree_util.tree_leaves(accel)[0].reshape(-1)[0])
+    # Sync EVERY leaf via a device-side SLICE fetch: np.asarray(leaf)
+    # would pull entire multi-hundred-MB tables through the tunnel
+    # (it inflated this column ~10x in earlier rounds), while syncing
+    # only the first leaf would let the attrs upload finish outside the
+    # timed window.
+    for leaf in jax.tree_util.tree_leaves(accel):
+        float(leaf.reshape(-1)[0])
     dt = time.perf_counter() - t0
     return accel, dt
 

@@ -35,7 +35,8 @@ import mini_opencl_raytracer_tpu as mrt
 from mini_opencl_raytracer_tpu.models.procedural import bunny_scene
 from mini_opencl_raytracer_tpu.ops import rng as rnglib
 from mini_opencl_raytracer_tpu.ops.camera import generate_rays
-from mini_opencl_raytracer_tpu.ops.integrator import _ray_sort_keys
+from mini_opencl_raytracer_tpu.ops.integrator import (_ray_sort_keys,
+    DEAD_KEY)
 from mini_opencl_raytracer_tpu.ops.pallas import clustered
 from mini_opencl_raytracer_tpu.utils.metrics import time_scan_fn
 
@@ -117,8 +118,12 @@ def main() -> int:
     def secondary(fr):
         d = _rand_dirs(fr, R, 23)
         o = pos + d * 1e-3
+        # Shared key/DEAD_KEY with the integrator; dead lanes are NOT
+        # parked here (a deliberate overstatement of the real secondary
+        # cost — the integrator additionally parks them outside the
+        # AABB, see _trace_paths_sorted).
         keys = jnp.where(h0.hit, _ray_sort_keys(o, d, lo, hi),
-                         jnp.uint32(0xFFFFFFFF))
+                         jnp.uint32(DEAD_KEY))
         out = jax.lax.sort(
             (keys, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]),
             num_keys=1)

@@ -19,7 +19,8 @@ import mini_opencl_raytracer_tpu as mrt
 from mini_opencl_raytracer_tpu.models.procedural import bunny_scene
 from mini_opencl_raytracer_tpu.ops import rng as rnglib
 from mini_opencl_raytracer_tpu.ops.camera import generate_rays
-from mini_opencl_raytracer_tpu.ops.integrator import _ray_sort_keys
+from mini_opencl_raytracer_tpu.ops.integrator import (_ray_sort_keys,
+    DEAD_KEY, park_point)
 from mini_opencl_raytracer_tpu.ops.pallas import clustered
 from mini_opencl_raytracer_tpu.render import _swizzled_ids
 
@@ -48,11 +49,11 @@ z = 2*u-1; r = jnp.sqrt(jnp.maximum(0,1-z*z)); phi = 2*jnp.pi*v
 d1 = jnp.stack([r*jnp.cos(phi), r*jnp.sin(phi), z], -1)
 pos = o0 + d0*jnp.where(h0.hit, h0.t, 1.0)[:, None]
 o1 = pos + d1*1e-3
-keys = jnp.where(h0.hit, _ray_sort_keys(o1, d1, lo, hi), jnp.uint32(0xFFFFFFFF))
+keys = jnp.where(h0.hit, _ray_sort_keys(o1, d1, lo, hi), jnp.uint32(DEAD_KEY))
 out = jax.lax.sort((keys, o1[:,0],o1[:,1],o1[:,2], d1[:,0],d1[:,1],d1[:,2],
                     h0.hit.astype(jnp.int32)), num_keys=1)
 os_ = jnp.stack(out[1:4], -1); ds_ = jnp.stack(out[4:7], -1); alv = out[7] > 0
-park_o = hi + (hi-lo) + 1.0
+park_o = park_point(lo, hi)
 os_ = jnp.where(alv[:,None], os_, park_o[None,:])
 ds_ = jnp.where(alv[:,None], ds_, jnp.full((3,), 1/np.sqrt(3), jnp.float32)[None,:])
 

@@ -58,6 +58,19 @@ def _ray_sort_keys(o: jax.Array, d: jax.Array, lo: jax.Array,
     return (octant << 29) | (m >> 3)
 
 
+# Sort key for dead lanes: strictly above every live key (the live
+# key's top octant bits reach at most 0xEFFFFFFF). Shared with the
+# benchmark probes (traverse_bench, visits_probe) so they construct the
+# same wavefront the integrator traces.
+DEAD_KEY = 0xFFFFFFFF
+
+
+def park_point(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Where dead lanes park: strictly outside every scene AABB, so a
+    fully-dead packet rejects at the top-level slab test."""
+    return hi + (hi - lo) + 1.0
+
+
 def _sorted_wavefront(scene: Scene, intersect_fn, occluder_fn):
     """Wrap the intersectors to run on a coherence-sorted permutation of
     the wavefront, restoring ray order on the way out. Per-ray values
@@ -139,6 +152,13 @@ def trace_paths(
     reference's FPS counter couldn't offer — utils/metrics.py)."""
     R = origins.shape[0]
     dtype = cfg.jnp_dtype()
+    if cfg.bounces == 0:
+        # Zero bounces renders black on every path (the sorted variant
+        # below hoists bounce 0 out of its scan and must not run it).
+        radiance = jnp.zeros((R, 3), dtype)
+        if with_stats:
+            return radiance, jnp.zeros((0,), dtype)
+        return radiance
     sort_on = (cfg.sort_rays if cfg.sort_rays is not None
                else scene.num_triangles > SORT_RAYS_MIN_TRIS)
     if sort_on:
@@ -196,11 +216,9 @@ def _trace_paths_sorted(scene, cfg, origins, directions, seeds,
     pts = jnp.concatenate([g.v0, g.v1, g.v2], axis=0)
     lo = jax.lax.stop_gradient(jnp.min(pts, axis=0))
     hi = jax.lax.stop_gradient(jnp.max(pts, axis=0))
-    # Parking spot for dead lanes: outside every AABB, heading away —
-    # the slab test rejects the whole scene at the top level.
-    park_o = hi + (hi - lo) + 1.0
+    park_o = park_point(lo, hi)
     park_d = jnp.full((3,), 1.0 / jnp.sqrt(3.0), dtype)
-    dead_key = jnp.uint32(0xFFFFFFFF)
+    dead_key = jnp.uint32(DEAD_KEY)
 
     core = make_bounce_core(scene, cfg, intersect_fn, occluder_fn,
                             with_stats=with_stats)

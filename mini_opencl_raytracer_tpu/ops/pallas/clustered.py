@@ -328,13 +328,16 @@ NSLOTS = int(os.environ.get("MRT_CLUSTER_NSLOTS", "16"))
 _GROUPS = int(os.environ.get("MRT_CLUSTER_GROUPS", "4"))
 # The sub-tile split must cover the tile exactly and keep each sub-tile
 # lane-aligned, or sub-tiles silently overlap / miss lanes (e.g.
-# _GROUPS=3 gives 682-lane groups).
-assert _TILE % _GROUPS == 0, (
-    f"MRT_CLUSTER_GROUPS={_GROUPS} must divide the {_TILE}-lane tile")
+# _GROUPS=3 gives 682-lane groups). ValueError, not assert: env
+# validation must survive python -O.
+if _TILE % _GROUPS:
+    raise ValueError(
+        f"MRT_CLUSTER_GROUPS={_GROUPS} must divide the {_TILE}-lane tile")
 _GLANES = _TILE // _GROUPS
-assert _GLANES % _LANES == 0, (
-    f"MRT_CLUSTER_GROUPS={_GROUPS} gives {_GLANES}-lane sub-tiles; "
-    f"must be a multiple of {_LANES}")
+if _GLANES % _LANES:
+    raise ValueError(
+        f"MRT_CLUSTER_GROUPS={_GROUPS} gives {_GLANES}-lane sub-tiles; "
+        f"must be a multiple of {_LANES}")
 
 # mask_scratch column of the per-super packet entry distance (doubles
 # as the visited flag: set to _BIG once visited). Columns 1/2 hold the

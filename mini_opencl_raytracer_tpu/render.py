@@ -73,6 +73,11 @@ def make_intersectors(scene: Scene, cfg: RenderConfig,
         backend = resolve_backend(scene, cfg)
         if backend == "mega":
             backend = "pallas"
+    # build_accel returns a BVH for the bvh backend; accept it through
+    # the generic ``accel`` parameter too so the build-once flow works
+    # for every backend (callers mostly pass whatever build_accel gave).
+    if bvh is None and isinstance(accel, bvh_mod.BVH):
+        bvh = accel
     if backend == "bruteforce":
         closest = functools.partial(
             intersect_brute, geometry=geo, t_max=cfg.t_max,

@@ -147,3 +147,16 @@ def test_swizzle_fallback_odd_resolution():
         mrt.RenderConfig(width=40, height=20, bounces=1,
                          backend="bruteforce"))
     assert img.shape == (20, 40, 3)
+
+
+def test_zero_bounces_black_all_paths(cornell):
+    """bounces=0 must render black on every integrator path — the
+    sorted variant hoists bounce 0 out of its scan and must not run it
+    (round-5 review finding)."""
+    cam = mrt.Camera.default()
+    for sort in (False, True):
+        cfg = mrt.RenderConfig(width=8, height=16, bounces=0,
+                               backend="bruteforce", sort_rays=sort)
+        img = np.asarray(mrt.render_sample(cornell, cam, cfg))
+        assert img.shape == (16, 8, 3)
+        np.testing.assert_array_equal(img, 0.0)
