@@ -49,17 +49,21 @@ def _build_accel_timed(scene, cfg):
     if accel is None:
         return None, 0.0
     jax.block_until_ready(jax.tree_util.tree_leaves(accel)[0])
-    t0 = time.perf_counter()
-    accel = mrt.build_accel(scene, cfg)
-    # Sync EVERY leaf via a device-side SLICE fetch: np.asarray(leaf)
-    # would pull entire multi-hundred-MB tables through the tunnel
-    # (it inflated this column ~10x in earlier rounds), while syncing
-    # only the first leaf would let the attrs upload finish outside the
-    # timed window.
-    for leaf in jax.tree_util.tree_leaves(accel):
-        float(leaf.reshape(-1)[0])
-    dt = time.perf_counter() - t0
-    return accel, dt
+    # Best of 3 warm builds: the first timed repetition in a process
+    # can absorb one-off jit compiles / rig stalls (observed 60 s for a
+    # 30 ms build). Sync EVERY leaf via a device-side SLICE fetch:
+    # np.asarray(leaf) would pull entire multi-hundred-MB tables
+    # through the tunnel (it inflated this column ~10x in earlier
+    # rounds), while syncing only the first leaf would let the attrs
+    # upload finish outside the timed window.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        accel = mrt.build_accel(scene, cfg)
+        for leaf in jax.tree_util.tree_leaves(accel):
+            float(leaf.reshape(-1)[0])
+        times.append(time.perf_counter() - t0)
+    return accel, min(times)
 
 
 def _measure_forward(scene, cfg, camera, iters, accel=None, inner=None):
