@@ -445,20 +445,32 @@ def _clustered_kernel(*refs, num_supers: int, backface_cull: bool,
                     det_s, ud_s, vd_s, td_s = (det * sgn, ud * sgn,
                                                vd * sgn, td * sgn)
                 dvalid = det_s > _DET_EPS
-                inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
-                tt = td_s * inv
+                # Approx-reciprocal SELECTION + exact winner
+                # re-division (mk._sel_recip): the per-candidate divide
+                # only orders candidates; t > 0 is tested division-free
+                # (det_s > 0) and the one winner per sub-tile gets one
+                # exact [1, _GLANES] divide below, so the stored t —
+                # which feeds the slab-culling bound and Hit.t — never
+                # carries the ~2^-12 approximation error.
+                tt = td_s * mk._sel_recip(jnp.where(dvalid, det_s, 1.0))
                 t_best = best_scratch[0:1, lo:lo + _GLANES]
                 ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
-                      & (ud_s + vd_s <= det_s) & (tt > 0.0)
+                      & (ud_s + vd_s <= det_s) & (td_s > 0.0)
                       & (tt < t_best))
                 tt = jnp.where(ok, tt, _BIG)
                 t_blk = jnp.min(tt, axis=0, keepdims=True)
                 win = tt <= t_blk
                 i_blk = jnp.min(jnp.where(win, tri_iota, _BIG),
                                 axis=0, keepdims=True)
-                better = t_blk < t_best
+                sel = tri_iota == i_blk       # unique winner one-hot
+                det_w = jnp.sum(jnp.where(sel, det_s, 0.0),
+                                axis=0, keepdims=True)
+                td_w = jnp.sum(jnp.where(sel, td_s, 0.0),
+                               axis=0, keepdims=True)
+                t_w = td_w / jnp.where(det_w > _DET_EPS, det_w, 1.0)
+                better = (t_blk < _BIG) & (t_w < t_best)
                 best_scratch[0:1, lo:lo + _GLANES] = jnp.where(
-                    better, t_blk, t_best)
+                    better, t_w, t_best)
                 best_scratch[1:2, lo:lo + _GLANES] = jnp.where(
                     better, i_blk + base_f,
                     best_scratch[1:2, lo:lo + _GLANES])
@@ -466,7 +478,7 @@ def _clustered_kernel(*refs, num_supers: int, backface_cull: bool,
                     # Winner-row fetch from the resident attribute
                     # block: one [CLUSTER, ATTR_COLS] x one-hot f32
                     # contraction per improved sub-tile.
-                    oh = ((tri_iota == i_blk) & better).astype(
+                    oh = (sel & better).astype(
                         jnp.float32)                 # [CLUSTER, GLANES]
                     # HIGHEST precision: a DEFAULT f32 dot rounds the
                     # operands to bf16 (kd 0.1 came back as bf16(0.1));

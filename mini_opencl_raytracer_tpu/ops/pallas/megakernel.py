@@ -102,6 +102,29 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Approximate-reciprocal candidate SELECTION (compiled TPU only;
+# MRT_APPROX_SELECT=0 restores the exact divide, =force enables it even
+# under interpret for tests). The closest-hit divide only ORDERS
+# candidates: _mt_closest returns the winner INDEX and _winner_point
+# recomputes (t, u, v) with an exact divide, so the ~2^-12-relative
+# `pl.reciprocal(approx=True)` can only flip winners between triangles
+# separated by < ~2.4e-4 relative in t — knife edges where either
+# winner shades the same to float tolerance (the clustered kernel
+# additionally re-divides its stored winner t exactly; see
+# clustered.intersect_block). Exact under interpret so the CPU
+# equivalence suite keeps its tight tolerances; the compiled path is
+# gated on device by benchmarks/verify_tpu.py.
+_APPROX_SELECT = os.environ.get("MRT_APPROX_SELECT", "1")
+
+
+def _sel_recip(x):
+    """Reciprocal used only to ORDER closest-hit candidates."""
+    if _APPROX_SELECT == "force" or (
+            _APPROX_SELECT != "0" and not _interpret()):
+        return pl.reciprocal(x, approx=True)
+    return 1.0 / x
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -530,10 +553,11 @@ def _mt_closest(g_ref, o3, d3, t_max: float, backface_cull: bool,
         det_s, ud_s, vd_s, td_s = _mt_block_dets(g_ref, b, tb, F_limbs,
                                                  backface_cull)
         dvalid = det_s > _DET_EPS
-        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
-        tt = td_s * inv
+        # Selection-only reciprocal (see _sel_recip): t > 0 is tested
+        # division-free (det_s > 0, so sign(tt) == sign(td_s)).
+        tt = td_s * _sel_recip(jnp.where(dvalid, det_s, 1.0))
         ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
-              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < t_best))
+              & (ud_s + vd_s <= det_s) & (td_s > 0.0) & (tt < t_best))
         tt = jnp.where(ok, tt, _BIG)
 
         t_blk = jnp.min(tt, axis=0, keepdims=True)   # [1, TILE]
@@ -568,10 +592,13 @@ def _mt_anyhit(g_ref, o3, d3, t_limit, backface_cull: bool, T_pad: int):
         det_s, ud_s, vd_s, td_s = _mt_block_dets(g_ref, b, tb, F_limbs,
                                                  backface_cull)
         dvalid = det_s > _DET_EPS
-        inv = 1.0 / jnp.where(dvalid, det_s, 1.0)
-        tt = td_s * inv
+        # Division-free and EXACT (modulo one product rounding): with
+        # det_s > 0, 0 < td_s/det_s < tlim  <=>  td_s > 0 and
+        # td_s < tlim * det_s — an any-hit query needs no t value at
+        # all, so the per-candidate divide is gone entirely.
         ok = (dvalid & (ud_s >= 0.0) & (vd_s >= 0.0)
-              & (ud_s + vd_s <= det_s) & (tt > 0.0) & (tt < tlim))
+              & (ud_s + vd_s <= det_s) & (td_s > 0.0)
+              & (td_s < tlim * det_s))
         return occ | jnp.any(ok, axis=0, keepdims=True)
 
     occ0 = jnp.zeros((1, _TILE), jnp.bool_)

@@ -229,3 +229,18 @@ def test_mega_prebuilt_accel_identical(cornell):
     b = np.asarray(mrt.render_sample(cornell, cam, cfg, frame=2,
                                      accel=accel))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mega_approx_select_forced(cornell, monkeypatch):
+    """MRT_APPROX_SELECT=force (the compiled-TPU default) under
+    interpret: approximate-reciprocal selection may flip knife-edge
+    winners only — the full multi-bounce image must still match the
+    exact-selection oracle to a mean-based gate, because _winner_point
+    recomputes (t, u, v) exactly on whichever winner was picked."""
+    cfg = _cfg("mega", width=24, height=24, bounces=2, shadow_rays=True)
+    img_exact = np.asarray(render_sample(cornell, CAM, cfg))
+    monkeypatch.setattr(mk, "_APPROX_SELECT", "force")
+    img_approx = np.asarray(render_sample(cornell, CAM, cfg))
+    diff = np.abs(img_approx - img_exact)
+    assert diff.mean() < 1e-4
+    assert (diff > 1e-2).mean() < 0.02

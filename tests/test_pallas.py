@@ -229,3 +229,34 @@ def test_prebuilt_accel_tracks_material_updates():
     # And it must differ from the original-materials image.
     base = np.asarray(mrt.render_sample(scene, cam, cfg, accel=accel))
     assert np.abs(base - want).max() > 1e-3
+
+
+def test_clustered_approx_select_forced(monkeypatch):
+    """MRT_APPROX_SELECT=force path (the compiled-TPU default) under
+    interpret: selection uses the ~2^-12-relative approximate
+    reciprocal but the stored winner t is re-divided exactly, so t
+    keeps the EXACT-path tolerances; winner indices may flip only
+    between candidates tied in t to the approximation band."""
+    from mini_opencl_raytracer_tpu.ops.pallas import clustered
+    from mini_opencl_raytracer_tpu.ops.pallas import megakernel as mk
+    monkeypatch.setattr(mk, "_APPROX_SELECT", "force")
+    geo = _soup(3000, seed=21)
+    cg = clustered.build_clusters(geo)
+    o, d = _random_rays(512, seed=22)
+    brute = mrt.intersect_brute(o, d, geo, t_max=1e5, ray_chunk=256)
+    ch = clustered.intersect_clustered(o, d, cg, t_max=1e5)
+    np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(ch.hit))
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(np.asarray(brute.t)[m], np.asarray(ch.t)[m],
+                               rtol=1e-5, atol=5e-4)
+    ib, ic = np.asarray(brute.tri_idx), np.asarray(ch.tri_idx)
+    on, dn = np.asarray(o), np.asarray(d)
+    for r in np.nonzero(m & (ib != ic))[0]:
+        tb = _tri_t(geo, ib[r], on[r], dn[r])
+        tc = _tri_t(geo, ic[r], on[r], dn[r])
+        np.testing.assert_allclose(tc, tb, rtol=1e-3)
+    # Occlusion query (same kernel, t_limit entry) under approx.
+    limit = jnp.full((512,), 8.0)
+    occ_b = mrt.occluded_brute(o, d, limit, geo, ray_chunk=256)
+    occ_c = clustered.occluded_clustered(o, d, limit, cg)
+    assert np.mean(np.asarray(occ_b) != np.asarray(occ_c)) < 0.005
